@@ -1,0 +1,105 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank as typed DataFrame joins/aggregations (north rule:
+  * no GraphX/RDD). Standard formulation with dangling-mass redistribution:
+  *
+  *   rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u)/outdeg(u) + D/N )
+  *   where D = Σ_{outdeg(u)=0} rank(u)
+  *
+  * Execution shape per superstep (see Superstep for the loop invariants):
+  *   state(id, rank, deg, delta)  — hash-partitioned by id, P partitions
+  *   edges(src, dst)              — cached, hash-partitioned by src, P parts
+  *
+  *   contrib = edges ⋈ state ON src=id        (CO-PARTITIONED — no shuffle of
+  *                                             either side after warmup)
+  *           groupBy(dst) sum(rank/deg)       (THE one shuffle per superstep)
+  *   state'  = state ⋈ contrib ON id=dst      (both sides hash-clustered on
+  *                                             their join key — no extra
+  *                                             exchange) + dangling term
+  *
+  * The dangling sum and the convergence measure ride inside the state as
+  * aggregable columns, so exactly one scalar action reaches the driver per
+  * superstep. Skew note: power-law in-degree hubs make the groupBy(dst) the
+  * hot spot; sum() is algebraic, so Spark's partial (map-side) aggregation
+  * already combines per input partition before the exchange — the per-reducer
+  * load for a hub key is bounded by #map-partitions, not by in-degree, which
+  * is why we keep sum() rather than a salted two-phase variant here (the
+  * salted path only pays off for non-algebraic aggregates, cf. SURVEY.md §4.2).
+  */
+object PageRank {
+
+  final case class Params(
+      damping: Double = 0.85,
+      tol: Double = 1e-6,
+      maxIter: Int = 100,
+      numPartitions: Int = 32,
+      dangling: Boolean = true
+  )
+
+  /** @param edges DataFrame(src: long, dst: long) — deduplicated digraph.
+    * @return DataFrame(id: long, rank: double), ranks summing to ~1. */
+  def run(edges: DataFrame, p: Params = Params(),
+          cfg0: Option[Superstep.Config] = None): Superstep.Result = {
+    val spark = edges.sparkSession
+    val P = p.numPartitions
+
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(P, col("src"))
+      .persist()
+
+    // vertex set = src ∪ dst; outdegree via one pass over edges
+    val outDeg = e.groupBy(col("src").as("id")).agg(count("*").as("deg"))
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+      .join(outDeg, Seq("id"), "left")
+      .na.fill(0L, Seq("deg"))
+      .repartition(P, col("id"))
+      .persist()
+    val n = verts.count() // also materializes the cached vertex table
+    val d = p.damping
+
+    val init = verts.select(
+      col("id"), lit(1.0 / n).as("rank"), col("deg"),
+      lit(Double.MaxValue).as("delta"))
+
+    val cfg = cfg0.getOrElse(Superstep.Config(P, p.maxIter, p.tol))
+
+    val res = Superstep.run(spark, init, cfg) { (state, _) =>
+      // dangling mass of the CURRENT ranks — computed as a broadcastable
+      // 1-row aggregate folded into the plan (no separate driver action)
+      val danglingMass =
+        if (p.dangling)
+          state.agg(coalesce(sum(when(col("deg") === 0, col("rank"))), lit(0.0))
+            .as("dm"))
+        else spark.range(1).select(lit(0.0).as("dm"))
+
+      val contrib = e
+        .join(state.where(col("deg") > 0)
+                   .select(col("id"), (col("rank") / col("deg")).as("c")),
+              e("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("msum"))
+
+      state.select(col("id"), col("rank").as("prev"), col("deg"))
+        .join(contrib, col("id") === contrib("dst"), "left")
+        .crossJoin(broadcast(danglingMass))
+        .select(
+          col("id"),
+          (lit((1.0 - d) / n) +
+            lit(d) * (coalesce(col("msum"), lit(0.0)) + col("dm") / n))
+            .as("rank"),
+          col("deg"),
+          col("prev"))
+        .withColumn("delta", abs(col("rank") - col("prev")))
+        .drop("prev")
+    } { state =>
+      state.agg(max(col("delta"))).collect()(0).getDouble(0)
+    }
+
+    e.unpersist(false); verts.unpersist(false)
+    res.copy(state = res.state.select("id", "rank"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.checkpoint.{CheckpointStore, StepMetrics}
+
+/** Shared fixpoint superstep driver for the iterative graph algorithms
+  * (PageRank / connected components / label propagation / BFS — SURVEY.md
+  * §2.8, §4.2). Catalyst has no recursion; a naive DataFrame loop grows
+  * lineage unboundedly and replans an ever-deeper tree each iteration. This
+  * driver pins the execution shape:
+  *
+  *  - state is ALWAYS hash-partitioned on the vertex-id column with a fixed
+  *    partition count, so the per-superstep join against the (cached,
+  *    identically partitioned) edge table never re-shuffles the edges;
+  *  - each superstep materializes via `localCheckpoint(eager)` — truncates
+  *    lineage AND preserves the physical output partitioning (Spark keeps
+  *    `outputPartitioning` on the LogicalRDD);
+  *  - AQE partition coalescing is disabled for the loop's duration (and
+  *    restored after): a runtime re-plan that changes the partition count
+  *    mid-convergence would force a re-shuffle every subsequent superstep;
+  *  - exactly one scalar convergence measure crosses to the driver per
+  *    superstep — no other collects inside the loop (BASELINE.md protocol:
+  *    keep supersteps shuffle-dominated so N→4N efficiency survives);
+  *  - optional CheckpointStore commit every `checkpointEvery` steps with
+  *    per-partition row counts → resumable mid-convergence.
+  */
+object Superstep {
+
+  final case class Config(
+      numPartitions: Int,
+      maxIter: Int,
+      tol: Double,
+      checkpointEvery: Int = 0, // 0 = no durable checkpoints
+      store: Option[CheckpointStore] = None,
+      verbose: Boolean = false
+  )
+
+  final case class Result(state: DataFrame, steps: Int, metrics: Seq[StepMetrics])
+
+  /** Run `next` until `measure(state) <= cfg.tol` or maxIter.
+    *
+    * @param init    initial state (caller repartitions by the key column)
+    * @param next    lazy next-state plan; must keep key-hash partitioning
+    * @param measure scalar convergence measure over the MATERIALIZED state
+    *                (reads cached partitions — cheap). Carried "delta"/
+    *                "changed" columns in the state are the usual vehicle.
+    */
+  def run(spark: SparkSession, init: DataFrame, cfg: Config)(
+      next: (DataFrame, Int) => DataFrame)(
+      measure: DataFrame => Double): Result = {
+
+    val conf = spark.conf
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = conf.getOption(coalesceKey)
+    conf.set(coalesceKey, "false")
+    try {
+      val metrics = scala.collection.mutable.ArrayBuffer[StepMetrics]()
+      // resume from the newest committed superstep if a store has one
+      var (startStep, state0) = cfg.store.flatMap(_.latest(spark)) match {
+        case Some((k, df, _)) =>
+          if (cfg.verbose) println(s"[superstep] resuming at step $k")
+          (k, df.repartition(cfg.numPartitions,
+            org.apache.spark.sql.functions.col(df.columns.head)))
+        case None => (0, init)
+      }
+      var state = state0.localCheckpoint(true)
+      var step = startStep
+      var m = Double.MaxValue
+      while (step < cfg.maxIter && m > cfg.tol) {
+        val t0 = System.nanoTime()
+        val prev = state
+        state = next(prev, step).localCheckpoint(true) // job 1: materialize
+        m = measure(state)                             // job 2: cached scan
+        step += 1
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (cfg.verbose) println(f"[superstep] step=$step measure=$m%.3e ${secs}%.2fs")
+        val doCkpt = cfg.store.nonEmpty && cfg.checkpointEvery > 0 &&
+          (step % cfg.checkpointEvery == 0 || m <= cfg.tol)
+        val sm = if (doCkpt) {
+          val rows = state.count()
+          val pr = CheckpointStore.partitionRows(state)
+          val met = StepMetrics(step, m, rows, secs, pr)
+          cfg.store.get.commit(step, state, met)
+          met
+        } else StepMetrics(step, m, -1L, secs, Seq.empty)
+        metrics += sm
+        prev.unpersist(false)
+      }
+      Result(state, step, metrics.toSeq)
+    } finally {
+      prevCoalesce match {
+        case Some(v) => conf.set(coalesceKey, v)
+        case None    => conf.unset(coalesceKey)
+      }
+    }
+  }
+}

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Drives the flagship pipeline end-to-end through the public API —
+  * the library's "does it actually run" surface. Prints the top-ranked
+  * pages and the physical plan of the per-superstep join for inspection. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val top = graft.SparkEntry.entry(spark)
+    top.show(20, truncate = false)
+    println(f"entry() wall: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+
+    args.headOption match {
+      case Some(dir) =>
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          val n = fn(spark, dir).count()
+          println(s"query $name -> $n rows")
+        }
+      case None =>
+    }
+    spark.stop()
+  }
+}
