@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+import graft.algo.{Bfs, ConnectedComponents, LabelPropagation, PageRank,
+  Reachability, Superstep, TriangleCount}
+
+/** Graph-operator oracles (SURVEY.md §2.8 + the north-rule algorithms).
+  *
+  * The pages-table link graph can't be seen by DuckDB, so these run the SAME
+  * engine operators over deterministic digraphs derived from `lineitem` in
+  * pure SQL — DuckDB rebuilds the identical graph and checks per-vertex
+  * outputs exactly. Iterative algorithms get *generated* fixed-iteration SQL
+  * (chained CTEs) or recursive CTEs; convergence-based runs are covered by
+  * ScalaTest golden tests instead (convergence isn't SQL-expressible).
+  *
+  * Three graph shapes:
+  *  - `relEdges`  (dense, ≤500 vertices)  — degrees, hubs;
+  *  - `bedges`    (9 disjoint blocks of ≤100 vertices, sparse) — CC / BFS /
+  *                reachability / PageRank / label propagation (block
+  *                structure keeps SQL closures small and components plural);
+  *  - `tedges`    (sparse, ≤700 vertices) — triangle counts.
+  */
+object QueriesGraph {
+
+  // ---- dense graph (degree/hub oracles) ---------------------------------
+  private def relEdges(dir: String)(implicit s: SparkSession): DataFrame =
+    t(dir, "lineitem")
+      .select((col("l_orderkey") % 500).as("src"), (col("l_partkey") % 500).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+  private val relEdgesSql =
+    """edges AS (SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst
+      |  FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500)""".stripMargin
+
+  // ---- blocked sparse graph (iterative-algorithm oracles) ---------------
+  private def bedges(dir: String)(implicit s: SparkSession): DataFrame =
+    t(dir, "lineitem")
+      .select((col("l_orderkey") % 900).as("src"), (col("l_partkey") % 900).as("dst"))
+      .where(col("src") =!= col("dst") && col("src") % 9 === col("dst") % 9)
+      .distinct()
+
+  private val bedgesSql =
+    """bedges AS (SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
+      |  FROM lineitem
+      |  WHERE l_orderkey % 900 <> l_partkey % 900
+      |    AND (l_orderkey % 900) % 9 = (l_partkey % 900) % 9)""".stripMargin
+
+  // NOTE: inside DuckDB's WITH RECURSIVE, UNION in a non-recursive CTE
+  // behaves as UNION ALL — dedup must be an explicit DISTINCT.
+  private val bvertsSql =
+    """bverts AS (SELECT DISTINCT id FROM
+      |  (SELECT src AS id FROM bedges UNION ALL SELECT dst FROM bedges))""".stripMargin
+
+  // ---- sparse triangle graph -------------------------------------------
+  private def tedges(dir: String)(implicit s: SparkSession): DataFrame =
+    t(dir, "lineitem")
+      .where((col("l_orderkey") + col("l_partkey")) % 11 === 0)
+      .select((col("l_orderkey") % 700).as("src"), (col("l_partkey") % 700).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+  private val tedgesSql =
+    """tedges AS (SELECT DISTINCT l_orderkey % 700 AS src, l_partkey % 700 AS dst
+      |  FROM lineitem
+      |  WHERE (l_orderkey + l_partkey) % 11 = 0
+      |    AND l_orderkey % 700 <> l_partkey % 700)""".stripMargin
+
+  private val P = 8 // fixed partitioning for oracle runs (verify is local[4])
+
+  /** Fixed-iteration PageRank as chained CTEs — the exact dataflow of
+    * [[PageRank.run]] (dangling-mass redistribution included), unrolled. */
+  private def pagerankSql(iters: Int, d: Double): String = {
+    // every CTE MATERIALIZED: each r_k is referenced 3× — default inlining
+    // would blow up 3^k and re-open the parquet per reference.
+    val sb = new StringBuilder
+    val mat = bedgesSql.replaceFirst("AS", "AS MATERIALIZED")
+    val matV = bvertsSql.replaceFirst("AS", "AS MATERIALIZED")
+    sb ++= s"WITH $mat,\n$matV,\n"
+    sb ++= "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bverts),\n"
+    sb ++= "outdeg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg FROM bedges GROUP BY src),\n"
+    sb ++= "r0 AS MATERIALIZED (SELECT v.id, 1.0/nn.n AS pr FROM bverts v CROSS JOIN nn)"
+    for (k <- 1 to iters) {
+      sb ++= s""",
+dm$k AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS m FROM r${k - 1} r LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL),
+c$k AS MATERIALIZED (SELECT e.dst AS id, SUM(r.pr / o.deg) AS s FROM bedges e JOIN r${k - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.id GROUP BY e.dst),
+r$k AS MATERIALIZED (SELECT v.id, (1.0 - $d)/nn.n + $d * (COALESCE(c.s, 0.0) + dm$k.m/nn.n) AS pr FROM bverts v CROSS JOIN nn CROSS JOIN dm$k LEFT JOIN c$k c ON v.id = c.id)"""
+    }
+    sb ++= s"\nSELECT id, ROUND(pr, 8) AS pr FROM r$iters"
+    sb.toString
+  }
+
+  /** Fixed-iteration synchronous label propagation, mirroring
+    * [[LabelPropagation.run]] exactly: votes from symmetrized neighbors,
+    * argmax by (count desc, label asc), isolated vertices keep their label. */
+  private def lpSql(iters: Int): String = {
+    val sb = new StringBuilder
+    val mat = bedgesSql.replaceFirst("AS", "AS MATERIALIZED")
+    sb ++= s"WITH $mat,\n"
+    sb ++= "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM bedges UNION ALL SELECT dst AS src, src AS dst FROM bedges)),\n"
+    sb ++= "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM sym)"
+    for (k <- 1 to iters) {
+      sb ++= s""",
+v$k AS MATERIALIZED (SELECT s.dst AS id, l.label, COUNT(*) AS cnt FROM sym s JOIN l${k - 1} l ON s.src = l.id GROUP BY s.dst, l.label),
+w$k AS MATERIALIZED (SELECT id, label FROM (SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn FROM v$k) WHERE rn = 1),
+l$k AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label FROM l${k - 1} l LEFT JOIN w$k w ON l.id = w.id)"""
+    }
+    sb ++= s"\nSELECT id, label FROM l$iters"
+    sb.toString
+  }
+
+  val reg: Seq[Entry] = Seq(
+
+    // G1 (SURVEY §2.8): in/out degree on the dense edge table.
+    ("g1_degree", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val e = relEdges(dir)
+      val outd = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
+      val ind = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+      outd.join(ind, Seq("id"), "full_outer")
+        .na.fill(0L, Seq("out_degree", "in_degree"))
+    }, Some(
+      s"""WITH $relEdgesSql,
+         |o AS (SELECT src AS id, COUNT(*) AS out_degree FROM edges GROUP BY src),
+         |i AS (SELECT dst AS id, COUNT(*) AS in_degree FROM edges GROUP BY dst)
+         |SELECT COALESCE(o.id, i.id) AS id,
+         |  COALESCE(out_degree, 0) AS out_degree,
+         |  COALESCE(in_degree, 0) AS in_degree
+         |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin)),
+
+    // Hub detection: global top-20 by in-degree, deterministic tie-break.
+    // (Scale path is orderBy().limit() = distributed TakeOrdered; the
+    // row_number window here is the small-side formulation the oracle needs.)
+    ("g8_hubs_topk", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val ind = relEdges(dir).groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("in_degree"))
+      ind.withColumn("rnk",
+        row_number().over(Window.orderBy(col("in_degree").desc, col("id").asc)))
+        .where(col("rnk") <= 20)
+    }, Some(
+      s"""WITH $relEdgesSql,
+         |i AS (SELECT dst AS id, COUNT(*) AS in_degree FROM edges GROUP BY dst)
+         |SELECT id, in_degree, rnk FROM (
+         |  SELECT id, in_degree,
+         |    ROW_NUMBER() OVER (ORDER BY in_degree DESC, id ASC) AS rnk FROM i)
+         |WHERE rnk <= 20""".stripMargin)),
+
+    // North-rule CC: min-label + pointer jumping vs a recursive-CTE
+    // transitive closure (undirected), exact component ids.
+    ("g2_connected_components", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      ConnectedComponents.run(bedges(dir), numPartitions = P).state
+    }, Some(
+      s"""WITH RECURSIVE $bedgesSql,
+         |sym AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM bedges UNION ALL SELECT dst AS src, src AS dst FROM bedges)),
+         |reach(s, v) AS (
+         |  SELECT DISTINCT src, src FROM sym
+         |  UNION
+         |  SELECT r.s, e.dst FROM reach r JOIN sym e ON e.src = r.v)
+         |SELECT s AS id, MIN(v) AS comp FROM reach GROUP BY s""".stripMargin)),
+
+    // North-rule triangle counting: degree-oriented wedge join vs a plain
+    // SQL 3-way join on the sparse graph; exact per-vertex counts.
+    ("g3_triangles", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      TriangleCount.perVertexAndTotal(tedges(dir), numPartitions = P)._1
+    }, Some(
+      s"""WITH $tedgesSql,
+         |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM tedges),
+         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |        FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pv AS (SELECT id, COUNT(*) AS triangles FROM (
+         |        SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+         |        UNION ALL SELECT w FROM tri) GROUP BY id),
+         |uverts AS (SELECT a AS id FROM und UNION SELECT b FROM und)
+         |SELECT uv.id, COALESCE(pv.triangles, 0) AS triangles
+         |FROM uverts uv LEFT JOIN pv ON uv.id = pv.id""".stripMargin)),
+
+    // BFS / multi-source shortest distances (G3/G5 primitive), directed,
+    // -1 sentinel for unreachable (SURVEY §2.11.7).
+    ("g4_bfs_distances", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val e = bedges(dir)
+      val verts = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val seeds = verts.where(col("id") % 97 === 0)
+      Bfs.run(e, seeds, undirected = false, numPartitions = P, maxIter = 256).state
+    }, Some(
+      s"""WITH RECURSIVE $bedgesSql,
+         |$bvertsSql,
+         |seeds AS (SELECT id FROM bverts WHERE id % 97 = 0),
+         |walk(v, d) AS (
+         |  SELECT id, 0 FROM seeds
+         |  UNION
+         |  SELECT e.dst, w.d + 1 FROM walk w JOIN bedges e ON e.src = w.v WHERE w.d < 200),
+         |md AS (SELECT v, MIN(d) AS dist FROM walk GROUP BY v)
+         |SELECT b.id, COALESCE(md.dist, -1) AS dist
+         |FROM bverts b LEFT JOIN md ON b.id = md.v""".stripMargin)),
+
+    // G2 (ancestors/descendants): semi-naïve transitive closure vs
+    // recursive CTE; exact per-vertex descendant counts.
+    ("g5_descendants", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      Reachability.descendantCounts(bedges(dir), numPartitions = P)
+    }, Some(
+      s"""WITH RECURSIVE $bedgesSql,
+         |$bvertsSql,
+         |reach(s, v) AS (
+         |  SELECT id, id FROM bverts
+         |  UNION
+         |  SELECT r.s, e.dst FROM reach r JOIN bedges e ON e.src = r.v)
+         |SELECT s AS id, COUNT(*) - 1 AS descendants FROM reach GROUP BY s""".stripMargin)),
+
+    // North-rule PageRank: 20 supersteps, dangling redistribution, ranks
+    // rounded to 8dp (double reduce-order noise is ~1e-15; SURVEY §7.4.1).
+    ("g6_pagerank20", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val res = PageRank.run(bedges(dir),
+        PageRank.Params(tol = 0.0, maxIter = 20, numPartitions = P))
+      res.state.select(col("id"), round(col("rank"), 8).as("pr"))
+    }, Some(pagerankSql(20, 0.85))),
+
+    // North-rule label propagation: 10 synchronous supersteps, deterministic
+    // (count desc, label asc) argmax, vs generated fixed-iteration SQL.
+    ("g7_labelprop10", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      LabelPropagation.run(bedges(dir), numPartitions = P, maxIter = 10).state
+    }, Some(lpSql(10)))
+  )
+}

@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.multimodal.Assets
+import graft.text.TextStats
+
+/** Training-data pipeline operators: text analysis, deduplication,
+  * similarity search, multimodal plumbing — each over the driver's
+  * `documents` / `embeddings` tables with a DuckDB oracle where the
+  * computation is SQL-expressible (approximate operators are oracled
+  * against their exact ground truth when the data's similarity gap makes
+  * recall certain; see individual notes). */
+object QueriesText {
+
+  // SQL helper: marker-hit count for a language profile.
+  private def hitsSql(words: Seq[String]): String =
+    s"length(list_filter(string_split(text, ' '), x -> list_contains([${
+      words.map(w => s"'$w'").mkString(",")}], x)))"
+
+  private val Seq(deW, enW, esW, frW) = TextStats.markers.map(_._2)
+
+  /** Shared shingle/Jaccard SQL (word 3-grams, join-blocked pairs). */
+  private val jaccardSqlBody =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s AS sh FROM (
+      |       SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                              for i in generate_series(1, len(w) - 2)]) AS s
+      |       FROM toks)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  val reg: Seq[Entry] = Seq(
+
+    // T1: token statistics per language label — whitespace tokens + BPE-ish
+    // subword pre-tokenization counts.
+    ("t1_token_stats", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      t(dir, "documents")
+        .select(col("lang"), TextStats.tokenCount(col("text")).as("nt"),
+          TextStats.bpeishCount(col("text")).as("nb"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("sum_tokens"),
+          sum(col("nb")).as("sum_bpeish"),
+          min(col("nt")).as("min_tokens"),
+          max(col("nt")).as("max_tokens"))
+    }, Some(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(length(string_split(text, ' '))) AS sum_tokens,
+        |  SUM(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS sum_bpeish,
+        |  MIN(length(string_split(text, ' '))) AS min_tokens,
+        |  MAX(length(string_split(text, ' '))) AS max_tokens
+        |FROM documents GROUP BY lang""".stripMargin)),
+
+    // T2: per-document quality signals (Gopher/C4-style heuristics): token
+    // count, mean token length, stopword ratio, punctuation density, and a
+    // composite score — one codegen'd projection, no UDFs.
+    ("t2_quality", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      t(dir, "documents").select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextStats.wordRatio(col("text"), TextStats.markers.toMap.apply("en")).as("stop_ratio"),
+        TextStats.nonAlphaRatio(col("text")).as("non_alpha_ratio"),
+        TextStats.qualityScore(col("text")).as("quality"))
+    }, Some {
+      val n = "CAST(length(string_split(text, ' ')) AS DOUBLE)"
+      val stop = s"CAST(${hitsSql(enW)} AS DOUBLE) / $n"
+      val punct = "CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+      s"""SELECT doc_id,
+         |  length(string_split(text, ' ')) AS n_tokens,
+         |  CAST(length(text) - length(string_split(text, ' ')) + 1 AS DOUBLE)
+         |    / $n AS mean_tok_len,
+         |  $stop AS stop_ratio,
+         |  $punct AS non_alpha_ratio,
+         |  (LEAST($n / 64.0, 1.0) + LEAST(($stop) * 8.0, 1.0)
+         |   + (1.0 - LEAST(($punct) * 4.0, 1.0))) / 3.0 AS quality
+         |FROM documents""".stripMargin
+    }),
+
+    // T3: heuristic language ID (CJK share → zh; else stopword-profile
+    // argmax with deterministic tie order; no hits → und), aggregated.
+    ("t3_langid", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      t(dir, "documents")
+        .select(TextStats.langId(col("text")).as("lang_detected"))
+        .groupBy(col("lang_detected")).agg(count(lit(1)).as("n"))
+    }, Some {
+      val Seq(de, en, es, fr) = Seq(deW, enW, esW, frW).map(hitsSql)
+      s"""SELECT CASE
+         |  WHEN CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+         |       / CAST(length(text) AS DOUBLE) > 0.3 THEN 'zh'
+         |  WHEN $de + $en + $es + $fr = 0 THEN 'und'
+         |  WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
+         |  WHEN $en >= $es AND $en >= $fr THEN 'en'
+         |  WHEN $es >= $fr THEN 'es'
+         |  ELSE 'fr' END AS lang_detected, COUNT(*) AS n
+         |FROM documents GROUP BY 1""".stripMargin
+    }),
+
+    // T4: normalized-content fingerprinting per source (document-level
+    // exact-dedup cardinality).
+    ("t4_fingerprint", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      t(dir, "documents")
+        .groupBy(col("source"))
+        .agg(countDistinct(TextStats.fingerprintMd5(col("text"))).as("n_unique"),
+          count(lit(1)).as("n_docs"))
+    }, Some(
+      """SELECT source,
+        |  COUNT(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_unique,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY source""".stripMargin)),
+
+    // D1: exact/near-exact duplicate grouping by content fingerprint —
+    // prefix fingerprinting, the cheap first pass before MinHash.
+    ("d1_exact_dup_groups", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      t(dir, "documents")
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(substring(col("text"), 1, 40), "\\s+", " ")))
+            .as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("dups"),
+          min(col("doc_id")).as("keep_id"))
+        .where(col("dups") > 1)
+    }, Some(
+      """SELECT fp, COUNT(*) AS dups, MIN(doc_id) AS keep_id
+        |FROM (SELECT doc_id,
+        |        md5(lower(regexp_replace(substr(text, 1, 40), '\s+', ' ', 'g'))) AS fp
+        |      FROM documents)
+        |GROUP BY fp HAVING COUNT(*) > 1""".stripMargin)),
+
+    // D2: exact n-gram Jaccard near-dup pairs via shingle-join blocking
+    // (only overlapping pairs materialize — never the n² cross product).
+    ("d2_jaccard_pairs", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      Dedup.jaccardPairs(t(dir, "documents"), "doc_id", "text", n = 3, minJ = 0.8)
+    }, Some(
+      s"""WITH $jaccardSqlBody
+         |SELECT i.a_id, i.b_id, i.inter, sa.sz + sb.sz - i.inter AS uni,
+         |  CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+         |FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
+         |             JOIN sizes sb ON i.b_id = sb.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.8""".stripMargin)),
+
+    // D3: MinHash (k=128) + banded LSH (32×4) + exact verification.
+    // Oracle = the exact-Jaccard pair set: every true pair here has j ≥ 0.9
+    // (the corpus has a clean [0.15, 0.9] similarity gap), where the banding
+    // miss probability is (1−0.9⁴)³² ≈ 1.5e-15 — recall is certain, and the
+    // verify step makes precision exact.
+    ("d3_minhash_lsh", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      Dedup.minHashLsh(t(dir, "documents"), "doc_id", "text",
+        n = 3, k = 128, bands = 32, minJ = 0.8)
+    }, Some(
+      s"""WITH $jaccardSqlBody
+         |SELECT i.a_id, i.b_id
+         |FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
+         |             JOIN sizes sb ON i.b_id = sb.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.8""".stripMargin)),
+
+    // D4: SimHash near-dup pairs (pigeonhole-blocked). Rows-only check here
+    // (hamming threshold semantics differ from Jaccard's); DedupSpec pins
+    // recall against d2's ground truth on this corpus.
+    ("d4_simhash_pairs", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      Dedup.simHashPairs(t(dir, "documents"), "doc_id", "text",
+        maxHam = 6, blocks = 8).select(col("a_id"), col("b_id"))
+    }, None),
+
+    // D5: embedding-cosine near-dup pairs (brute force — the oracle tier;
+    // threshold 0.40 sits 1.3e-4 away from the nearest similarity, so
+    // engine double-rounding can't flip membership).
+    ("d5_embed_pairs", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      Similarity.cosinePairs(t(dir, "embeddings"), "vec_id", "embedding", 0.40)
+    }, Some(
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.40""".stripMargin)),
+
+    // E1: exact top-5 cosine neighbors for 10 probe vectors (brute force;
+    // ties broken by id — the minimum 5th↔6th sim gap is 1.9e-5, far above
+    // double noise, so rank order is engine-stable).
+    ("e1_knn_bruteforce", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val emb = t(dir, "embeddings")
+      Similarity.bruteForceKnn(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }, Some(
+      """SELECT query_id, rnk, neighbor_id FROM (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rnk
+        |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10)
+        |WHERE rnk <= 5""".stripMargin)),
+
+    // E2: LSH-bucketed approximate KNN (the scale path: bucket join instead
+    // of probes × corpus). Approximate → rows-only here; AnnSpec pins
+    // recall ≥ threshold vs brute force.
+    ("e2_knn_lsh", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val emb = t(dir, "embeddings")
+      Similarity.lshKnn(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nBits = 8, probeBits = 1)
+        .withColumnRenamed("rank", "rnk")
+    }, None),
+
+    // M1: multimodal metadata decode — synthetic binary assets (image/
+    // audio/video payloads behind a stub codec), partition-parallel
+    // mapPartitions decode, aggregated per kind. Generator is engine-side →
+    // rows-only here; MultimodalSpec pins exact decoded values.
+    ("m1_asset_meta", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      Assets.decodeMeta(Assets.generate(s, n = 300))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), max(col("width")).as("max_width"),
+          max(col("frames")).as("max_frames"),
+          sum(col("byte_len")).as("total_bytes"))
+    }, None)
+  )
+}

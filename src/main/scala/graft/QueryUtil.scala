@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the oracle-query registry (see Queries.scala for the
+  * determinism rules that keep Spark vs DuckDB hash-comparable). */
+object QueryUtil {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** (name, spark plan, optional DuckDB oracle SQL) registry row. */
+  type Entry = (String, QFn, Option[String])
+
+  def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum surfaced as double (order-independent in both engines). */
+  def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
+
+  /** Same, as SQL text. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,6))) AS DOUBLE)"
+}

@@ -1,0 +1,116 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (the exactness
+  * baseline) and a random-hyperplane-LSH bucketed variant (the scale path).
+  *
+  * Vectors are `array<float>` columns; all math runs in double via
+  * `zip_with` + `aggregate` — codegen'd higher-order functions, no UDFs.
+  * Scale shape: brute force is probes × corpus (only sane when one side is
+  * tiny and broadcast); the LSH path buckets the corpus once (narrow map +
+  * one shuffle on the signature) and joins probes to their own bucket, so
+  * cost is |bucket| · k, not |corpus| · |probes|.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double (sequential fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Unit-normalized copy of a vector (double elements). Pre-normalizing
+    * each side ONCE turns the per-pair cosine (3 array aggregates) into a
+    * single dot product — the only sane shape for pairs × dims work. */
+  def normalized(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+
+  /** All pairs with cosine ≥ minCos — brute force over the (small) corpus;
+    * the embedding-near-dup oracle primitive. Output (a_id, b_id). */
+  def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+                  minCos: Double): DataFrame = {
+    val nv = vecs.select(col(idCol).as("a_id"), normalized(col(vecCol)).as("va"))
+    val a = nv
+    val b = nv.select(col("a_id").as("b_id"), col("va").as("vb"))
+    a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .where(dot(col("va"), col("vb")) >= minCos)
+      .select("a_id", "b_id")
+  }
+
+  /** Exact top-k cosine neighbors for each probe (probe side broadcast).
+    * Deterministic tie-break: (sim desc, neighbor id asc).
+    * Output (query_id, rank, neighbor_id). */
+  def bruteForceKnn(corpus: DataFrame, probes: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("query_id"),
+      normalized(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      normalized(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(p)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
+    * xxhash64 mapped to [-1, 1). Content-derived — identical across runs
+    * and cluster sizes (SURVEY.md §2.7 F19 rule). */
+  private def planeComponent(i: Int, j: Column): Column =
+    (xxhash64(lit(i), j).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** nBits-bit random-hyperplane signature of a vector: bit i = sign of
+    * ⟨v, plane_i⟩. Computed via one aggregate over (dim, value) pairs per
+    * plane — no stored plane matrix, the planes are pure hash functions. */
+  def rhpSignature(vec: Column, nBits: Int): Column = {
+    val withIdx = zip_with(vec, sequence(lit(0), size(vec) - 1),
+      (v, j) => struct(v.cast("double").as("v"), j.as("j")))
+    val bits = (0 until nBits).map { i =>
+      val proj = aggregate(withIdx, lit(0.0),
+        (acc, e) => acc + e.getField("v") * planeComponent(i, e.getField("j")))
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: bucket corpus by rhp signature; probes search only
+    * their own bucket plus `probeBits`-hamming-adjacent buckets (multi-probe
+    * over single-bit flips). Recall/cost dial: nBits ↑ → smaller buckets,
+    * probeBits ↑ → higher recall. Output (query_id, rank, neighbor_id). */
+  def lshKnn(corpus: DataFrame, probes: DataFrame, idCol: String,
+             vecCol: String, k: Int, nBits: Int = 12,
+             probeBits: Int = 1): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      rhpSignature(col(vecCol), nBits).as("sig"))
+    val flips = lit(0L) +: (0 until nBits).map(b => shiftleft(lit(1L), b))
+    val probeSigs = if (probeBits >= 1) array(flips: _*) else array(lit(0L))
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        rhpSignature(col(vecCol), nBits).as("psig"))
+      .select(col("query_id"), col("qv"), col("psig"),
+        explode(probeSigs).as("flip"))
+      .select(col("query_id"), col("qv"),
+        col("psig").bitwiseXOR(col("flip")).as("sig"))
+    val scored = c.join(broadcast(p), Seq("sig"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

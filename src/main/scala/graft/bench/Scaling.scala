@@ -1,0 +1,95 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+
+import graft.algo.PageRank
+
+/** Two-parallelism-level scaling evidence (BASELINE.md protocol): the
+  * north rule's N→4N-executor efficiency criterion, evidenced in-sandbox by
+  * the same PageRank job at `local[N]` and `local[4N]` on the same on-disk
+  * edge table.
+  *
+  *  - The edge table is synthesized ONCE (deterministic, power-law-ish hub
+  *    structure from the pages generator shape) and written to parquet, so
+  *    both runs read identical bytes.
+  *  - Fixed superstep count (tol=0, maxIter=K) so both runs do identical
+  *    work — convergence is benchmarked in graft.Bench; here we isolate
+  *    throughput.
+  *  - `spark.sql.shuffle.partitions` = cores in each run; a JIT-warmup run
+  *    precedes both measurements; each config runs `reps` times, best taken
+  *    (cold-cache noise suppression on a shared box).
+  *
+  * Prints one JSON line:
+  *   {"edges":…,"steps":…,"n_cores":…,"sec_n":…,"tput_n":…,
+  *    "n4_cores":…,"sec_4n":…,"tput_4n":…,"efficiency":…}
+  */
+object Scaling {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Deterministic synthetic edge table with hub skew: ring + hash cross
+    * links + a global hub every page links to (the PagesGen link shape,
+    * without paying HTML assembly at 10⁷ rows). */
+  private def genEdges(spark: SparkSession, nPages: Long, out: String): Unit = {
+    import spark.implicits._
+    import graft.core.Hashing.{bounded, h}
+    spark.range(0, nPages, 1, 256).flatMap { i =>
+      val ring = (i, (i + 1) % nPages)
+      val jump = (i, h(42L, i, 1) match { case x => math.floorMod(x, nPages) })
+      val hub = (i, math.floorMod(h(42L, i, 2), 1000L)) // 1000 hub targets
+      val cross = (i, math.floorMod(h(42L, i, 3), nPages))
+      Seq(ring, jump, hub, cross).filter(e => e._1 != e._2)
+    }.toDF("src", "dst")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "3000000").toLong
+    val steps = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEPS", "8").toInt
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val path = "/tmp/graft_scaling_edges"
+
+    // generation + warmup (JIT, classloading) in a throwaway session
+    val gen = session(16)
+    genEdges(gen, nPages, path)
+    val nEdges = gen.read.parquet(path).count()
+    PageRank.run(gen.read.parquet(path).limit(200000),
+      PageRank.Params(tol = 0.0, maxIter = 3, numPartitions = 16))
+    gen.stop()
+
+    def measure(cores: Int): Double = {
+      val s = session(cores)
+      val edges = s.read.parquet(path)
+      val best = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        PageRank.run(edges, PageRank.Params(tol = 0.0, maxIter = steps,
+          numPartitions = cores))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      s.stop()
+      best
+    }
+
+    val secN = measure(nCores)
+    val sec4N = measure(4 * nCores)
+    val tputN = nEdges.toDouble * steps / secN
+    val tput4N = nEdges.toDouble * steps / sec4N
+    val eff = tput4N / (4.0 * tputN)
+    println(f"""{"edges":$nEdges,"steps":$steps,""" +
+      f""""n_cores":$nCores,"sec_n":$secN%.2f,"tput_n":$tputN%.0f,""" +
+      f""""n4_cores":${4 * nCores},"sec_4n":$sec4N%.2f,"tput_4n":$tput4N%.0f,""" +
+      f""""efficiency":$eff%.3f}""")
+  }
+}

@@ -1,0 +1,164 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for the training-data pipeline tier:
+  * exact (fingerprint groupBy), exact n-gram Jaccard (shingle join),
+  * MinHash + banded LSH, SimHash + pigeonhole blocking.
+  *
+  * Everything is declarative DataFrame ops — shuffles are per-stage
+  * groupBy/join on compact keys, all codegen'd built-ins (no UDF in a hot
+  * path). Scale shape (100 TB corpus):
+  *   shingle/signature build — narrow map;
+  *   LSH bucket grouping     — one shuffle on (band, bucket-hash), bucket
+  *                             sizes bounded by banding so no quadratic blow-up;
+  *   verify                  — join only candidate pairs back to features.
+  * The all-pairs exact path ([[jaccardPairs]]) is the small-scale oracle and
+  * the verifier primitive, NOT the scale path — [[minHashLsh]] is.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles as an array column (text pre-split on
+    * single spaces, matching the corpus contract). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val cnt = size(toks) - (n - 1)
+    array_distinct(
+      when(cnt > 0,
+        transform(sequence(lit(0), cnt - 1),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+        .otherwise(array()))
+  }
+
+  /** (id, shingle) exploded table — the join-shaped shingle view. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+
+  /** Exact pairwise Jaccard over docs sharing ≥1 shingle — shingle-join
+    * blocking, so only actually-overlapping pairs materialize (never the
+    * n² cross product). Output: (a_id, b_id, inter, uni, jaccard ≥ minJ). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, minJ: Double = 0.8): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n).persist()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("id").as("a_id"), col("sh"))
+      .join(sh.select(col("id").as("b_id"), col("sh")), Seq("sh"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.select(col("id").as("a_id"), col("sz").as("sa")), Seq("a_id"))
+      .join(sizes.select(col("id").as("b_id"), col("sz").as("sb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("sa") + col("sb") - col("inter")).as("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .where(col("jaccard") >= minJ)
+      .select("a_id", "b_id", "inter", "uni", "jaccard")
+    out.count() // materialize before unpersisting the shingle view
+    sh.unpersist(false)
+    out
+  }
+
+  /** MinHash signatures: k independent permutations simulated by
+    * xxhash64(i, shingle); one explode + one groupBy with k algebraic mins
+    * (map-side partial agg keeps hub shingles cheap).
+    * Output: (id, h0..h{k-1}). */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 128): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded-LSH candidate pairs from minhash signatures: b bands of r rows;
+    * docs agreeing on any whole band collide. One explode to (id, band,
+    * bandHash), one self-join per bucket. Bucket sizes are the skew risk at
+    * corpus scale — countBucket caps runaway buckets (hash of a universal
+    * shingle) by dropping buckets above `maxBucket`. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int,
+                    maxBucket: Int = 1000): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bh"))
+    }
+    val buckets = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val sized = buckets.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > 1 && col("bsz") <= maxBucket)
+    val inB = buckets.join(sized, Seq("band", "bh"), "left_semi")
+    inB.select(col("band"), col("bh"), col("id").as("a_id"))
+      .join(inB.select(col("band"), col("bh"), col("id").as("b_id")),
+        Seq("band", "bh"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    * exact-Jaccard verification of candidates only.
+    * Output: (a_id, b_id) with true Jaccard ≥ minJ. */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, k: Int = 128, bands: Int = 32,
+                 minJ: Double = 0.8): DataFrame = {
+    val rows = k / bands
+    val cands = lshCandidates(
+      minHashSignatures(docs, idCol, textCol, n, k), bands, rows)
+    val withSh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("shs"))
+    cands
+      .join(withSh.select(col("id").as("a_id"), col("shs").as("sha")), Seq("a_id"))
+      .join(withSh.select(col("id").as("b_id"), col("shs").as("shb")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .where(col("inter").cast("double") / col("uni").cast("double") >= minJ)
+      .select("a_id", "b_id")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (term-frequency weighted):
+    * per token t, h = xxhash64(t); bit i votes +1 if set else −1; result bit
+    * i is 1 iff the vote sum is positive. Shaped as explode(tokens) ×
+    * explode(bits 0..63) → two grouped sums — pure codegen'd aggregation. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = toks
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
+      .groupBy(col("id"), col("bit"))
+      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1L, 1L)
+        .otherwise(-1L)).as("v"))
+    votes.groupBy(col("id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHam, blocked by the
+    * pigeonhole principle: split 64 bits into `blocks` equal chunks — any
+    * pair within distance < blocks must agree on ≥1 chunk, so candidate
+    * generation is an equi-join on (chunkIdx, chunkValue), never all-pairs.
+    * Requires maxHam < blocks for guaranteed recall. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHam: Int = 6, blocks: Int = 8): DataFrame = {
+    require(maxHam < blocks, "pigeonhole recall needs maxHam < blocks")
+    val width = 64 / blocks
+    val sh = simHash(docs, idCol, textCol)
+    val chunkCols = (0 until blocks).map { c =>
+      struct(lit(c).as("ci"),
+        shiftright(col("simhash"), c * width)
+          .bitwiseAND((1L << width) - 1).as("cv"))
+    }
+    val chunks = sh.select(col("id"), col("simhash"),
+      explode(array(chunkCols: _*)).as("ch"))
+      .select(col("id"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    chunks.select(col("ci"), col("cv"), col("id").as("a_id"), col("simhash").as("ha"))
+      .join(chunks.select(col("ci"), col("cv"), col("id").as("b_id"),
+        col("simhash").as("hb")), Seq("ci", "cv"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("ham"))
+      .distinct()
+      .where(col("ham") <= maxHam)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Similarity
+
+/** Similarity-search semantics: cosine math vs plain Scala, brute-force KNN
+  * exactness, LSH-KNN recall vs the brute-force ground truth. */
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic synthetic vectors: clusters around 8 seeded directions
+  private def vecs(n: Int, dim: Int): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(dim) { j =>
+        val centre = graft.core.Hashing.h(7L, c, j).toDouble / Long.MaxValue
+        val noise = graft.core.Hashing.h(11L, i, j).toDouble / Long.MaxValue
+        (centre + 0.25 * noise).toFloat
+      }
+      (i.toLong, v)
+    }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private val data = vecs(120, 32)
+  private lazy val df = data.toDF("vec_id", "embedding")
+
+  test("cosine column matches plain-Scala double math exactly") {
+    val got = df.where(col("vec_id") < 4).crossJoin(
+        df.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+          .where(col("b_id") === 10))
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("vb")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lookup = data.toMap
+    got.foreach { case (id, c) =>
+      assert(c === cos(lookup(id), lookup(10L)))
+    }
+  }
+
+  test("bruteForceKnn returns the exact top-k with deterministic ties") {
+    val probes = df.where(col("vec_id") < 6)
+    val got = Similarity.bruteForceKnn(df, probes, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val lookup = data.toMap
+    (0L until 6L).foreach { q =>
+      val expect = data.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(lookup(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1)
+      assert(got(q) === expect, s"query $q")
+    }
+  }
+
+  test("lshKnn recall >= 0.6 vs brute force on clustered vectors") {
+    val probes = df.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(df, probes, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshKnn(df, probes, "vec_id", "embedding", k = 5,
+        nBits = 6, probeBits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("rhp signatures are deterministic across partitionings") {
+    val s1 = df.repartition(1)
+      .select(col("vec_id"), Similarity.rhpSignature(col("embedding"), 10))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s8 = df.repartition(8)
+      .select(col("vec_id"), Similarity.rhpSignature(col("embedding"), 10))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 === s8)
+  }
+}
