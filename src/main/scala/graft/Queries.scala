@@ -32,7 +32,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Queries {
 
   private val reg: Seq[QueryUtil.Entry] =
-    QueriesRel.reg ++ QueriesGraph.reg ++ QueriesText.reg
+    QueriesRel.reg ++ QueriesGraph.reg ++ QueriesText.reg ++ QueriesWebGraph.reg
 
   require(reg.map(_._1).distinct.size == reg.size, "duplicate query names")
 

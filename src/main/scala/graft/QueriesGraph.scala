@@ -223,7 +223,8 @@ l$k AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label FROM l${k 
     ("g6_pagerank20", (s: SparkSession, dir: String) => {
       implicit val sp = s
       val res = PageRank.run(bedges(dir),
-        PageRank.Params(tol = 0.0, maxIter = 20, numPartitions = P))
+        PageRank.Params(tol = 0.0, maxIter = 20, numPartitions = P),
+        Some(Superstep.Config(P, 20, tol = 0.0, fixedStep = true)))
       res.state.select(col("id"), round(col("rank"), 8).as("pr"))
     }, Some(pagerankSql(20, 0.85))),
 

@@ -33,7 +33,13 @@ object Superstep {
       tol: Double,
       checkpointEvery: Int = 0, // 0 = no durable checkpoints
       store: Option[CheckpointStore] = None,
-      verbose: Boolean = false
+      verbose: Boolean = false,
+      /** Run exactly maxIter steps and skip the per-step convergence
+        * measure — one Spark job per superstep instead of two. For
+        * fixed-iteration oracles and throughput benchmarks; convergence-
+        * driven runs (even with tol=0, e.g. "no label changed") must keep
+        * this false. */
+      fixedStep: Boolean = false
   )
 
   final case class Result(state: DataFrame, steps: Int, metrics: Seq[StepMetrics])
@@ -71,7 +77,8 @@ object Superstep {
         val t0 = System.nanoTime()
         val prev = state
         state = next(prev, step).localCheckpoint(true) // job 1: materialize
-        m = measure(state)                             // job 2: cached scan
+        m = if (cfg.fixedStep) Double.MaxValue
+            else measure(state)                        // job 2: cached scan
         step += 1
         val secs = (System.nanoTime() - t0) / 1e9
         if (cfg.verbose) println(f"[superstep] step=$step measure=$m%.3e ${secs}%.2fs")

@@ -75,7 +75,9 @@ object Scaling {
       val best = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         PageRank.run(edges, PageRank.Params(tol = 0.0, maxIter = steps,
-          numPartitions = cores))
+            numPartitions = cores),
+          Some(graft.algo.Superstep.Config(cores, steps, tol = 0.0,
+            fixedStep = true)))
         (System.nanoTime() - t0) / 1e9
       }.min
       s.stop()

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algo.{PageRank, Superstep}
+import graft.checkpoint.ParquetStore
+
+/** Checkpoint/resume correctness (north rule: resumable mid-convergence):
+  * a run killed after superstep k resumes from the durable store and
+  * finishes bit-identical to an uninterrupted run; manifests carry
+  * per-partition lineage. */
+class CheckpointSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic digraph: 3 rings with cross links + dangling tail
+  private def edges = (
+    (0L to 19L).map(i => (i, (i + 1) % 20)) ++
+      (20L to 29L).map(i => (i, 20L + (i + 3) % 10)) ++
+      Seq((0L, 20L), (20L, 0L), (5L, 30L)) // 30 is dangling
+    ).toDF("src", "dst")
+
+  test("interrupted PageRank resumes from the last committed superstep " +
+    "and ends bit-identical to an uninterrupted run") {
+    val root = Files.createTempDirectory("graft_ckpt").toString
+
+    // uninterrupted reference run (no store)
+    val full = PageRank.run(edges,
+        PageRank.Params(tol = 0.0, maxIter = 12, numPartitions = 4))
+      .state.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // run A: commit every 2 steps, stop hard at step 6 via maxIter
+    val storeA = new ParquetStore(root, "run1")
+    PageRank.run(edges, PageRank.Params(tol = 0.0, maxIter = 6, numPartitions = 4),
+      Some(Superstep.Config(4, 6, tol = 0.0, checkpointEvery = 2,
+        store = Some(storeA))))
+    val committed = storeA.metricsLog()
+    assert(committed.nonEmpty)
+    assert(committed.last.step === 6)
+    assert(committed.last.partRows.sum === committed.last.rows,
+      "per-partition lineage rows must sum to the state rowcount")
+
+    // run B: same store, resumes at 6, continues to 12
+    val storeB = new ParquetStore(root, "run1")
+    val resumed = PageRank.run(edges,
+      PageRank.Params(tol = 0.0, maxIter = 12, numPartitions = 4),
+      Some(Superstep.Config(4, 12, tol = 0.0, checkpointEvery = 2,
+        store = Some(storeB))))
+    assert(resumed.steps === 12)
+    val got = resumed.state.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    assert(got.keySet === full.keySet)
+    // parquet round-trip may reorder rows within a partition, which can
+    // permute float-sum reduce order — allow ulp-level slack (≪ the 1e-6
+    // convergence tolerance the north rule pins).
+    full.foreach { case (id, r) =>
+      assert(math.abs(got(id) - r) < 1e-12, s"vertex $id diverged after resume")
+    }
+  }
+
+  test("commit is atomic: orphan data without manifest is never resumed") {
+    val root = Files.createTempDirectory("graft_ckpt2").toString
+    val store = new ParquetStore(root, "runX")
+    assert(store.latest(spark).isEmpty)
+    // fake an orphan state dir (crash between data write and manifest move)
+    val orphan = new java.io.File(s"$root/runX/state_3")
+    orphan.mkdirs()
+    assert(store.latest(spark).isEmpty)
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.webgraph._
+
+/** Graph-construction parity on the hand-written OpenWPM-shaped fixture
+  * (FIXTURES.md §3): redirect-chain assembly with header shift, call-stack
+  * explosion, anti-join normal edges, element linkage, storage/cookie
+  * explodes, HTTP cookie headers, latest-setter quirk, A1 consolidation. */
+class WebGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val req = FixtureCrawl.requests(spark)
+  private lazy val resp = FixtureCrawl.responses(spark)
+  private lazy val red = FixtureCrawl.redirects(spark)
+  private lazy val cs = FixtureCrawl.callstacks(spark)
+  private lazy val js = FixtureCrawl.jsCalls(spark)
+
+  test("redirect chain: entry edge + per-hop edges with shifted responses") {
+    val (edges, completed) = RequestGraph.redirectEdges(req, red, resp)
+    val rows = edges.collect()
+    val triples = rows.map(r => (r.getAs[String]("src"), r.getAs[String]("dst"),
+      r.getAs[String]("response_status"))).toSet
+    assert(triples === Set(
+      // entry: top_level_url -> chain head, status of first 3xx
+      ("http://site-a.example/", "http://r.example/start", "301"),
+      // hop1 -> status of NEXT 3xx (302), final hop -> final response 200
+      ("http://r.example/start", "http://r.example/hop1", "302"),
+      ("http://r.example/hop1", "http://t.example/final", "200")))
+    // final hop's respattr is the FINAL response headers
+    val last = rows.find(_.getAs[String]("dst") == "http://t.example/final").get
+    assert(last.getAs[String]("respattr").contains("Content-Type"))
+    assert(completed.collect().map(_.getString(0)).toSet === Set("1_10"))
+  }
+
+  test("call-stack edges: CS hops bottom-up then terminal HTTP edge") {
+    val (edges, _) = RequestGraph.csEdges(req, resp, cs)
+    val rows = edges.collect()
+    val hops = rows.filter(_.getAs[String]("reqattr") == "CS")
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst"))).toSet
+    assert(hops === Set(
+      ("http://site-a.example/boot.js", "http://helper.example/mid.js"),
+      ("http://helper.example/mid.js", "http://tracker.example/core.js")))
+    val terminal = rows.filter(_.getAs[String]("reqattr") != "CS")
+    assert(terminal.length === 1)
+    assert(terminal(0).getAs[String]("src") === "http://tracker.example/core.js")
+    assert(terminal(0).getAs[String]("dst") === "http://cdn.example/pixel.gif")
+    assert(terminal(0).getAs[String]("response_status") === "200")
+  }
+
+  test("normal edges exclude redirect/callstack keys (anti join)") {
+    val (_, edges) = RequestGraph.build(req, resp, red, cs)
+    val normal = edges.where(col("action") === "N/A" &&
+      col("reqattr") =!= "CS" && col("src") === "http://site-a.example/")
+    val dsts = normal.select("dst").collect().map(_.getString(0)).toSet
+    // request 20 went through the call stack, 10 through redirects;
+    // 30 (lib.js) and 40 (main frame) remain as normal edges — plus the
+    // redirect entry edge shares src; filter it out by status
+    assert(dsts.contains("http://static.example/lib.js"))
+    assert(dsts.contains("http://site-a.example/"))
+    assert(!dsts.contains("http://cdn.example/pixel.gif"))
+  }
+
+  test("request nodes promote types from content policy") {
+    val nodes = RequestGraph.requestNodes(req)
+    val types = nodes.collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[String]("type")).toMap
+    assert(types("http://static.example/lib.js") === "Script")
+    assert(types("http://site-a.example/") === "Document")
+    assert(types("http://cdn.example/pixel.gif") === "Request")
+  }
+
+  test("html: element created with content-derived id, src linked to parent") {
+    val (nodes, edges) = HtmlGraph.build(js)
+    val created = edges.where(col("action") === "create").collect()
+    assert(created.length === 1)
+    val elemId = created(0).getAs[String]("dst")
+    assert(elemId.startsWith("Element_"))
+    val setsrc = edges.where(col("action") === "setsrc").collect()
+    assert(setsrc.length === 1)
+    assert(setsrc(0).getAs[String]("src") === elemId)
+    assert(setsrc(0).getAs[String]("dst") === "http://cdn.example/pixel.gif")
+    val elemNode = nodes.where(col("type") === "Element").collect()(0)
+    assert(elemNode.getAs[String]("attr").contains("\"subtype\":\"\""))
+    assert(elemNode.getAs[String]("attr").contains("tag777"))
+  }
+
+  test("localStorage: LS-suffixed keys, get/set actions") {
+    val (nodes, edges) = StorageGraph.localStorage(js)
+    val key = "theme|$$|site-a.example|$$|LS"
+    assert(nodes.collect().map(_.getAs[String]("name")).toSet === Set(key))
+    val acts = edges.collect().map(r =>
+      r.getAs[String]("action") -> r.getAs[String]("dst")).toSet
+    assert(acts === Set("set_storage_js" -> key, "get_storage_js" -> key))
+  }
+
+  test("js cookies: multi-cookie get explodes; set carries attrs json") {
+    val (_, edges) = StorageGraph.jsCookies(js)
+    val gets = edges.where(col("action") === "get_js").collect()
+    assert(gets.map(_.getAs[String]("dst")).toSet === Set(
+      "sid|$$|site-a.example", "theme|$$|site-a.example"))
+    val sets = edges.where(col("action") === "set_js").collect()
+    assert(sets.length === 2)
+    assert(sets.forall(_.getAs[String]("dst") === "sid|$$|site-a.example"))
+    assert(sets.exists(_.getAs[String]("attr").contains("first-val")))
+  }
+
+  test("http cookies: Cookie gets and Set-Cookie sets with attributes") {
+    val (httpNodes, httpEdges) = RequestGraph.build(req, resp, red, cs)
+    val (nodes, edges) = HttpCookieGraph.build(httpEdges, httpNodes)
+    val byAction = edges.collect().groupBy(_.getAs[String]("action"))
+    val gets = byAction.getOrElse("get", Array.empty)
+    val sets = byAction.getOrElse("set", Array.empty)
+    assert(gets.exists(_.getAs[String]("dst") === "uid|$$|cdn.example"))
+    assert(sets.exists(_.getAs[String]("dst") === "track|$$|cdn.example"))
+    val setAttr = sets(0).getAs[String]("attr")
+    assert(setAttr.contains("\"secure\":true"))
+    assert(setAttr.contains("\"samesite\":\"None\""))
+    assert(nodes.collect().forall(_.getAs[String]("type") === "Storage"))
+  }
+
+  test("latest-setter quirk: the SECOND set of sid wins in parity mode") {
+    val (_, storEdges) = StorageGraph.build(js)
+    val setters = GraphAssembly.originalSetters(
+      storEdges.select("visit_id", "src", "dst", "action", "time_stamp"))
+    val sid = setters.where(col("name") === "sid|$$|site-a.example").collect()
+    assert(sid.length === 1)
+    assert(sid(0).getAs[String]("setter") === "http://helper.example/mid.js")
+    assert(sid(0).getAs[String]("setting_time_stamp") === "2023-01-01T00:00:12")
+    // intended-semantics mode: earliest wins
+    val earliest = GraphAssembly.originalSetters(
+      storEdges.select("visit_id", "src", "dst", "action", "time_stamp"),
+      parityLatest = false)
+      .where(col("name") === "sid|$$|site-a.example").collect()
+    assert(earliest(0).getAs[String]("setter") === "http://tracker.example/core.js")
+  }
+
+  test("unified graph: consolidation resolves type by priority, flags party") {
+    val (nodes, edges) = GraphAssembly.unifiedGraph(req, resp, red, cs, js)
+    assert(nodes.groupBy("name").count().where(col("count") > 1).count() === 0,
+      "consolidation must leave one row per node name")
+    val byName = nodes.collect().map(r => r.getAs[String]("name") -> r).toMap
+    // pixel.gif appears as Request node (HTTP + Element.src) — stays Request
+    assert(byName("http://cdn.example/pixel.gif").getAs[String]("type") === "Request")
+    // lib.js appears as Script (cpt) and as plain src of storage edges
+    assert(byName("http://static.example/lib.js").getAs[String]("type") === "Script")
+    // third-party storage node
+    val track = byName("track|$$|cdn.example")
+    assert(track.getAs[String]("party") === "third")
+    assert(track.getAs[String]("type") === "Storage")
+    assert(edges.where(col("graph_attr") =!= "Edge").count() === 0)
+    assert(edges.count() > 10)
+  }
+}
