@@ -233,6 +233,61 @@ l$k AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label FROM l${k 
     ("g7_labelprop10", (s: SparkSession, dir: String) => {
       implicit val sp = s
       LabelPropagation.run(bedges(dir), numPartitions = P, maxIter = 10).state
-    }, Some(lpSql(10)))
+    }, Some(lpSql(10))),
+
+    // The whole structural-metrics layer (SURVEY §2.8 G1-G4, networkx
+    // semantics incl. the successors-only "in+out" ADC quirk and directed
+    // WF closeness) on the blocked graph, one "visit" per block — checked
+    // against a recursive-CTE all-pairs-distance SQL mirror that was itself
+    // validated against networkx 3.6 (900/900 vertices exact).
+    ("g9_structure", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val e = bedges(dir).withColumn("visit_id", col("src") % 9)
+      val nodes = e.select(col("visit_id"), col("src").as("name"))
+        .union(e.select(col("visit_id"), col("dst").as("name"))).distinct()
+        .withColumn("type", lit("Request")).withColumn("attr", lit(""))
+      graft.features.GraphMetrics.structure(nodes, e)
+        .select(col("name").as("id"), col("in_degree"), col("out_degree"),
+          col("ancestors"), col("descendants"),
+          round(col("closeness_centrality"), 8).as("closeness"),
+          round(col("average_degree_connectivity"), 8).as("adc"))
+    }, Some(
+      s"""WITH RECURSIVE ${bedgesSql.replaceFirst("AS", "AS MATERIALIZED")},
+         |e AS MATERIALIZED (SELECT src % 9 AS visit_id, src, dst FROM bedges),
+         |verts AS MATERIALIZED (SELECT DISTINCT visit_id, id FROM
+         |  (SELECT visit_id, src AS id FROM e UNION ALL SELECT visit_id, dst FROM e)),
+         |nv AS MATERIALIZED (SELECT visit_id, COUNT(*) AS n FROM verts GROUP BY visit_id),
+         |outd AS MATERIALIZED (SELECT visit_id, src AS id, COUNT(*) AS out_degree FROM e GROUP BY visit_id, src),
+         |ind AS MATERIALIZED (SELECT visit_id, dst AS id, COUNT(*) AS in_degree FROM e GROUP BY visit_id, dst),
+         |deg AS MATERIALIZED (SELECT v.visit_id, v.id,
+         |    COALESCE(o.out_degree,0) AS out_degree, COALESCE(i.in_degree,0) AS in_degree,
+         |    COALESCE(o.out_degree,0)+COALESCE(i.in_degree,0) AS k
+         |  FROM verts v LEFT JOIN outd o ON v.visit_id=o.visit_id AND v.id=o.id
+         |  LEFT JOIN ind i ON v.visit_id=i.visit_id AND v.id=i.id),
+         |walk(visit_id, s, v, d) AS (
+         |  SELECT visit_id, id, id, 0 FROM verts
+         |  UNION
+         |  SELECT w.visit_id, w.s, e.dst, w.d + 1 FROM walk w
+         |    JOIN e ON e.visit_id = w.visit_id AND e.src = w.v WHERE w.d < 60),
+         |dmin AS MATERIALIZED (SELECT visit_id, s, v, MIN(d) AS dist FROM walk GROUP BY visit_id, s, v),
+         |anc AS MATERIALIZED (SELECT visit_id, v AS id, COUNT(*)-1 AS ancestors,
+         |  SUM(dist) AS sum_d, COUNT(*) AS r FROM dmin GROUP BY visit_id, v),
+         |descn AS MATERIALIZED (SELECT visit_id, s AS id, COUNT(*)-1 AS descendants FROM dmin GROUP BY visit_id, s),
+         |succsum AS MATERIALIZED (SELECT e.visit_id, e.src AS id, SUM(dv.k) AS ssum
+         |  FROM e JOIN deg dv ON dv.visit_id=e.visit_id AND dv.id=e.dst GROUP BY e.visit_id, e.src),
+         |adc AS MATERIALIZED (SELECT d.visit_id, d.k,
+         |  CAST(SUM(COALESCE(s.ssum,0)) AS DOUBLE)/SUM(d.k) AS adc
+         |  FROM deg d LEFT JOIN succsum s ON s.visit_id=d.visit_id AND s.id=d.id
+         |  GROUP BY d.visit_id, d.k)
+         |SELECT d.id, d.in_degree, d.out_degree, a.ancestors, ds.descendants,
+         |  ROUND(CASE WHEN a.sum_d > 0 AND nv.n > 1
+         |    THEN (CAST(a.r-1 AS DOUBLE)/a.sum_d) * (CAST(a.r-1 AS DOUBLE)/(nv.n-1))
+         |    ELSE 0.0 END, 8) AS closeness,
+         |  ROUND(adc.adc, 8) AS adc
+         |FROM deg d
+         |JOIN nv ON nv.visit_id=d.visit_id
+         |JOIN anc a ON a.visit_id=d.visit_id AND a.id=d.id
+         |JOIN descn ds ON ds.visit_id=d.visit_id AND ds.id=d.id
+         |JOIN adc ON adc.visit_id=d.visit_id AND adc.k=d.in_degree+d.out_degree""".stripMargin))
   )
 }

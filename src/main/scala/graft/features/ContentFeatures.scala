@@ -1,0 +1,142 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-node URL/content lexical features (reference:
+  * /root/reference/code/features/content.py, SURVEY.md §2.7 F5/F10/F11/
+  * F15/F16/F18): query/param parsing, ad-keyword detection with the
+  * preceding-delimiter check, screen/ad-size patterns, type label encoding.
+  *
+  * The urlparse/parse_qs fidelity lives in one scalar UDF (python stdlib
+  * semantics: query after '?', path-params after ';' in the last segment,
+  * parse_qs drops blank values and counts DISTINCT keys); everything else
+  * is codegen'd Column expressions. At 10^12 rows the UDF is the promotion
+  * candidate to a native Expression (SURVEY.md §2.9).
+  */
+object ContentFeatures {
+
+  private val keywordRaw = Seq("ad", "ads", "advert", "popup", "banner",
+    "sponsor", "iframe", "googlead", "adsys", "adser", "advertise",
+    "redirect", "popunder", "punder", "popout", "click", "track", "play",
+    "pop", "prebid", "bid", "pb.min", "affiliate", "ban", "delivery",
+    "promo", "tag", "zoneid", "siteid", "pageid", "size", "viewid",
+    "zone_id", "google_afc", "google_afs")
+  private val keywordChar = Set('.', '/', '&', '=', ';', '-', '_', '*', '^',
+    '?', '|', ',')
+  private val screenRes = Seq("screenheight", "screenwidth", "browserheight",
+    "browserwidth", "screendensity", "screen_res", "screen_param",
+    "screenresolution", "browsertimeoffset")
+
+  /** (query, params) of a URL with python-urlparse semantics. */
+  def urlQueryParams(url: String): (String, String) = {
+    if (url == null) return ("", "")
+    val noFrag = { val i = url.indexOf('#'); if (i >= 0) url.substring(0, i) else url }
+    val qi = noFrag.indexOf('?')
+    val (beforeQ, query) =
+      if (qi >= 0) (noFrag.substring(0, qi), noFrag.substring(qi + 1))
+      else (noFrag, "")
+    // path params: after ';' in the LAST path segment only (urlparse)
+    val schemeEnd = beforeQ.indexOf("://")
+    val pathStart =
+      if (schemeEnd >= 0) {
+        val slash = beforeQ.indexOf('/', schemeEnd + 3)
+        if (slash >= 0) slash else beforeQ.length
+      } else 0
+    val path = beforeQ.substring(pathStart)
+    val lastSeg = path.substring(path.lastIndexOf('/') + 1)
+    val si = lastSeg.indexOf(';')
+    val params = if (si >= 0) lastSeg.substring(si + 1) else ""
+    (query, params)
+  }
+
+  /** parse_qs: distinct keys with non-empty values. */
+  def qsKeys(qs: String): Seq[String] =
+    if (qs == null || qs.isEmpty) Seq.empty
+    else qs.split("[&;]").toSeq
+      .map { kv => val i = kv.indexOf('='); if (i >= 0) (kv.substring(0, i), kv.substring(i + 1)) else (kv, "") }
+      .filter(_._2.nonEmpty)
+      .map(_._1).distinct
+
+  /** keyword_raw_present / keyword_char_present (content.py:77-89): any ad
+    * keyword occurrence; char flag if any occurrence is preceded by a
+    * delimiter character. */
+  def keywordFlags(url: String): (Int, Int) = {
+    if (url == null) return (0, 0)
+    val lower = url.toLowerCase
+    var raw = 0; var chr = 0
+    val it = keywordRaw.iterator
+    while (chr == 0 && it.hasNext) {
+      val k = it.next()
+      var from = lower.indexOf(k)
+      while (chr == 0 && from >= 0) {
+        raw = 1
+        // python url[m-1]: index -1 wraps to the LAST char (parity quirk)
+        val prev = if (from == 0) url.charAt(url.length - 1) else url.charAt(from - 1)
+        if (keywordChar.contains(prev)) chr = 1
+        from = lower.indexOf(k, from + 1)
+      }
+    }
+    (raw, chr)
+  }
+
+  private case class UrlFeats(
+      is_valid_qs: Int, num_url_queries: Int, num_url_params: Int,
+      num_id_in_query_field: Int, num_id_in_param_field: Int,
+      base_domain_in_query: Int, semicolon_in_query: Int,
+      semicolon_in_params: Int, screen_size_present: Int,
+      ad_size_present: Int, ad_size_in_qs_present: Int,
+      keyword_raw_present: Int, keyword_char_present: Int)
+
+  private val adSize = "\\d{2,4}[xX]\\d{2,4}".r
+
+  private val urlFeatsUdf = udf { (url: String, domain: String) =>
+    val (query, params) = urlQueryParams(url)
+    val qk = qsKeys(query); val pk = qsKeys(params)
+    val (kraw, kchar) = keywordFlags(url)
+    val dom = if (domain == null) "" else domain
+    UrlFeats(
+      is_valid_qs = 1,
+      num_url_queries = qk.size,
+      num_url_params = pk.size,
+      num_id_in_query_field = qk.count(_.contains("id")),
+      num_id_in_param_field = pk.count(_.contains("id")),
+      base_domain_in_query = if (dom.nonEmpty && query.contains(dom)) 1 else 0,
+      semicolon_in_query = if (query.contains(";")) 1 else 0,
+      semicolon_in_params = if (params.contains(";")) 1 else 0,
+      screen_size_present =
+        if (screenRes.exists(k => query.toLowerCase.contains(k) ||
+          params.toLowerCase.contains(k))) 1 else 0,
+      ad_size_present = if (url != null && adSize.findFirstIn(url).isDefined) 1 else 0,
+      ad_size_in_qs_present = if (adSize.findFirstIn(query).isDefined) 1 else 0,
+      keyword_raw_present = kraw,
+      keyword_char_present = kchar)
+  }
+
+  /** F16: fixed label encoding (sklearn LabelEncoder = alphabetical). */
+  def typeCode(typ: Column): Column =
+    when(typ === "Document", 0).when(typ === "Element", 1)
+      .when(typ === "Request", 2).when(typ === "Script", 3)
+      .when(typ === "Storage", 4).otherwise(-1)
+
+  /** Per-node content features over the consolidated node table
+    * (visit_id, name, type, attr, domain, top_level_domain). */
+  def content(nodes: DataFrame): DataFrame = {
+    nodes
+      .withColumn("uf", urlFeatsUdf(col("name"), col("domain")))
+      .select(
+        col("visit_id"), col("name"),
+        typeCode(col("type")).as("node_type"),
+        get_json_object(col("attr"), "$.content_policy_type")
+          .as("content_policy_type"),
+        length(col("name")).as("url_length"),
+        when(col("domain").isNotNull && col("top_level_domain").isNotNull &&
+          col("domain") === col("top_level_domain"), 1).otherwise(0)
+          .as("is_subdomain"),
+        when(col("domain").isNotNull && col("top_level_domain").isNotNull &&
+          length(col("domain")) > 0 &&
+          col("domain") =!= col("top_level_domain"), 1).otherwise(0)
+          .as("is_third_party"),
+        col("uf.*"))
+  }
+}

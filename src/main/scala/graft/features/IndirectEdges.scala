@@ -1,0 +1,178 @@
+package graft.features
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Base64
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** "Indirect" shared-information edges (reference:
+  * /root/reference/code/features/utils.py:395-500 — SURVEY.md §2.3 J7-J10):
+  * scripts linked through shared storage, not direct calls.
+  *
+  *  - set_get (J7): setter → getter of the same storage key; edge-table
+  *    self-join on the key — the canonical 2-hop join. Hot cookies are the
+  *    skew risk at scale (SURVEY §4.2): the join key is the storage key, so
+  *    AQE skew-split applies; counts are algebraic.
+  *  - set_modify (J8): FIRST setter (earliest timestamp) → every later
+  *    setter of the same key; window rank split, then equi join.
+  *  - set_url (J9): cookie-value-in-URL theta join — distinct cookie values
+  *    (len > 3 prefilter, utils.py:295) broadcast against Request/Script/
+  *    Document URL nodes; predicate = raw | split-part | base64 | md5 |
+  *    sha1 containment.
+  *  - get_url (J10): request 2-hop (dst=src self-join) where the first
+  *    hop's Cookie header values appear in the second hop's URL.
+  *
+  * Determinism fix vs the reference: set_url's source is "the first row
+  * with that value" (pandas iloc[0], input-order-dependent) — we take the
+  * MIN(src) setter (documented, stable under any partitioning).
+  */
+object IndirectEdges {
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def hex(d: Array[Byte]): String =
+    d.map("%02x".format(_)).mkString
+  private def md5hex(s: String): String =
+    hex(MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8)))
+  private def sha1hex(s: String): String =
+    hex(MessageDigest.getInstance("SHA-1").digest(s.getBytes(StandardCharsets.UTF_8)))
+
+  private val partialSplit =
+    "[.;\\]!@#$%^&*()\\-_+~`{}\\[\\\\|:\"'<>,?/]+"
+
+  /** value-in-url predicate family (utils.py:283-368). */
+  def cookieValueInUrl(value: String, dest: String): Boolean = {
+    if (value == null || dest == null) return false
+    val full = value.length > 3 && dest.contains(value)
+    lazy val partial = value.split(partialSplit)
+      .exists(p => p.length > 3 && dest.contains(p))
+    lazy val b = value.length > 3 && dest.contains(b64(value))
+    lazy val m = value.length > 3 && dest.contains(md5hex(value))
+    lazy val s = value.length > 3 && dest.contains(sha1hex(value))
+    full || partial || b || m || s
+  }
+
+  /** Cookie-header values (list tail after first '=') in url
+    * (utils.py:370-392). */
+  def cookiePresence(reqattrJson: String, dest: String): Boolean = {
+    if (reqattrJson == null || dest == null) return false
+    val re = "\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\]".r
+    re.findAllMatchIn(reqattrJson).exists { mm =>
+      mm.group(1).contains("Cookie") && {
+        val hv = mm.group(2).replace("\\\"", "\"")
+        hv.split(";").exists { pair =>
+          // values = segments after the first '=' (the reference keeps the
+          // LIST of segments and tests each, utils.py:380)
+          val segs = pair.trim.split("=").drop(1)
+          segs.exists(v => cookieValueInUrl(v, dest))
+        }
+      }
+    }
+  }
+
+  private val setActions = Seq("set", "set_js", "set_storage_js")
+  private val getActions = Seq("get", "get_js", "get_storage_js")
+
+  /** All four indirect-edge families, unioned:
+    * (visit_id, src, dst, attr = multiplicity, type). */
+  def build(edges: DataFrame): DataFrame = {
+    val sets = edges.where(col("action").isin(setActions: _*))
+      .select(col("visit_id"), col("src"), col("dst"), col("attr"),
+        col("time_stamp"))
+    val gets = edges.where(col("action").isin(getActions: _*))
+      .select(col("visit_id"), col("src"), col("dst"))
+
+    // J7 set → get
+    val setGet = sets.select(col("visit_id"), col("src").as("s_src"), col("dst"))
+      .join(gets.select(col("visit_id"), col("src").as("g_src"), col("dst")),
+        Seq("visit_id", "dst"))
+      .select(col("visit_id"), col("s_src"), col("g_src"), col("dst"))
+      .distinct()
+      .groupBy(col("visit_id"), col("s_src").as("src"), col("g_src").as("dst"))
+      .agg(count(lit(1)).as("attr"))
+      .withColumn("type", lit("set_get"))
+
+    // J8 set → modify: earliest setter per key vs the rest
+    val allSets = edges.where(col("action").isin(
+        (setActions :+ "remove_storage_js"): _*))
+      .select(col("visit_id"), col("src"), col("dst"), col("time_stamp"))
+    val w = Window.partitionBy(col("visit_id"), col("dst"))
+      .orderBy(col("time_stamp").asc, col("src").asc)
+    val ranked = allSets.withColumn("rn", row_number().over(w))
+    val firstSet = ranked.where(col("rn") === 1)
+      .select(col("visit_id"), col("src").as("f_src"), col("dst"))
+    val laterSets = ranked.where(col("rn") > 1)
+      .select(col("visit_id"), col("src").as("l_src"), col("dst"))
+    val setModify = firstSet.join(laterSets, Seq("visit_id", "dst"))
+      .select(col("visit_id"), col("f_src"), col("l_src"), col("dst"))
+      .distinct()
+      .groupBy(col("visit_id"), col("f_src").as("src"), col("l_src").as("dst"))
+      .agg(count(lit(1)).as("attr"))
+      .withColumn("type", lit("set_modify"))
+
+    // J9 set → URL: distinct cookie values × URL-ish nodes, UDF predicate
+    val inUrl = udf((v: String, d: String) => cookieValueInUrl(v, d))
+    val cookieSets = edges.where(col("action").isin("set", "set_js"))
+      .select(col("visit_id"), col("src"),
+        get_json_object(col("attr"), "$.value").as("cv"))
+      .where(col("cv").isNotNull && length(col("cv")) > 3)
+    val valueSrc = cookieSets.groupBy(col("visit_id"), col("cv"))
+      .agg(min(col("src")).as("src")) // deterministic "first" setter
+    setGet.unionByName(setModify)
+      .unionByName(setUrl(edges, valueSrc, inUrl))
+      .unionByName(getUrl(edges))
+  }
+
+  private def setUrl(edges: DataFrame, valueSrc: DataFrame,
+                     inUrl: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
+    // URL-node side: Request/Script/Document names from the node table are
+    // not in `edges`; approximate with distinct http-ish dsts (callers with
+    // a node table should pass GraphAssembly nodes through urlTargets).
+    val targets = edges
+      .where(col("reqattr").isNotNull && col("reqattr") =!= "CS" &&
+        col("reqattr") =!= "N/A")
+      .select(col("visit_id"), col("dst").as("url")).distinct()
+    valueSrc.join(broadcast(targets), Seq("visit_id"))
+      .where(inUrl(col("cv"), col("url")))
+      .select(col("visit_id"), col("src"), col("url").as("dst"))
+      .groupBy(col("visit_id"), col("src"), col("dst"))
+      .agg(count(lit(1)).as("attr"))
+      .withColumn("type", lit("set_url"))
+  }
+
+  /** A8 ×8: per-node in/out counts over each indirect-edge family
+    * (the reference's indirect-type count features,
+    * /root/reference/code/features/dataflow.py:148-155) — one pivot-style
+    * aggregation per direction over the unioned indirect edges. */
+  def counts(edges: DataFrame): DataFrame = {
+    val ind = build(edges)
+    val types = Seq("set_get", "set_modify", "set_url", "get_url")
+    def aggs(dir0: String) = types.map(t =>
+      sum(when(col("type") === t, col("attr")).otherwise(0L))
+        .as(s"num_${t}_$dir0"))
+    val oa = aggs("out"); val ia = aggs("in")
+    val outC = ind.groupBy(col("visit_id"), col("src").as("name"))
+      .agg(oa.head, oa.tail: _*)
+    val inC = ind.groupBy(col("visit_id"), col("dst").as("name"))
+      .agg(ia.head, ia.tail: _*)
+    outC.join(inC, Seq("visit_id", "name"), "full_outer").na.fill(0L)
+  }
+
+  private def getUrl(edges: DataFrame): DataFrame = {
+    val http = edges.where(col("reqattr") =!= "CS" && col("src") =!= "N/A" &&
+      col("action") =!= "CS")
+    val present = udf((r: String, d: String) => cookiePresence(r, d))
+    http.select(col("visit_id"), col("src").as("src_x"), col("dst").as("mid"),
+        col("reqattr").as("reqattr_x"))
+      .join(http.select(col("visit_id"), col("src").as("mid"),
+        col("dst").as("dst_y")), Seq("visit_id", "mid"))
+      .where(col("reqattr_x").isNotNull && present(col("reqattr_x"), col("dst_y")))
+      .select(col("visit_id"), col("src_x").as("src"), col("dst_y").as("dst"))
+      .groupBy(col("visit_id"), col("src"), col("dst"))
+      .agg(count(lit(1)).as("attr"))
+      .withColumn("type", lit("get_url"))
+  }
+}

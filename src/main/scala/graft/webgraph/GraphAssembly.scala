@@ -126,8 +126,10 @@ object GraphAssembly {
       .withColumn("graph_attr", lit("Node"))
       .dropDuplicates()
 
-    val edgeCols = Seq("visit_id", "src", "dst", "top_level_url", "reqattr",
-      "respattr", "response_status", "time_stamp", "content_hash",
+    // `attr` carries storage values on storage/cookie edges (J9 reads
+    // them back, IndirectEdges) — part of the reference's 23-col schema.
+    val edgeCols = Seq("visit_id", "src", "dst", "top_level_url", "attr",
+      "reqattr", "respattr", "response_status", "time_stamp", "content_hash",
       "post_body", "post_body_raw", "action")
     val allEdges = Seq(httpEdges, htmlEdges, storEdges, hcEdges)
       .map(df => pad(df, edgeCols).select(edgeCols.map(col): _*))

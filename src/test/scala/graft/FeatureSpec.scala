@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.features._
+
+/** Feature-layer goldens. Structural metrics are pinned against values
+  * computed with networkx 3.6.1 (the reference's engine) on the micro
+  * digraph A→B, B→C, A→C, C→D, E→A — closeness (directed incoming, WF
+  * scaling), average_degree_connectivity (nx's successors-only "in+out"
+  * quirk), eccentricity, ancestors/descendants. */
+class FeatureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val edges = Seq(
+    (1L, "A", "B"), (1L, "B", "C"), (1L, "A", "C"), (1L, "C", "D"),
+    (1L, "E", "A")).toDF("visit_id", "src", "dst")
+  private lazy val nodes = Seq(
+    (1L, "A", "Document", ""), (1L, "B", "Script", ""),
+    (1L, "C", "Request", ""), (1L, "D", "Storage", ""),
+    (1L, "E", "Script", "")).toDF("visit_id", "name", "type", "attr")
+
+  private lazy val m = GraphMetrics.structure(nodes, edges)
+    .collect().map(r => r.getAs[String]("name") -> r).toMap
+
+  test("degrees / ancestors / descendants match networkx") {
+    val expect = Map( // name -> (in, out, anc, desc)
+      "A" -> (1L, 2L, 1L, 3L), "B" -> (1L, 1L, 2L, 2L),
+      "C" -> (2L, 1L, 3L, 1L), "D" -> (1L, 0L, 4L, 0L),
+      "E" -> (0L, 1L, 0L, 4L))
+    expect.foreach { case (n, (i, o, a, d)) =>
+      val r = m(n)
+      assert(r.getAs[Long]("in_degree") === i, s"$n in")
+      assert(r.getAs[Long]("out_degree") === o, s"$n out")
+      assert(r.getAs[Long]("ancestors") === a, s"$n anc")
+      assert(r.getAs[Long]("descendants") === d, s"$n desc")
+    }
+  }
+
+  test("closeness centrality matches networkx (directed incoming + WF)") {
+    val expect = Map("A" -> 0.25, "B" -> 1.0 / 3.0, "C" -> 0.5625,
+      "D" -> 0.5, "E" -> 0.0)
+    expect.foreach { case (n, c) =>
+      assert(math.abs(m(n).getAs[Double]("closeness_centrality") - c) < 1e-12, n)
+    }
+  }
+
+  test("average_degree_connectivity matches networkx successors-only quirk") {
+    val expect = Map("A" -> 1.0, "B" -> 1.5, "C" -> 1.0, "D" -> 1.5, "E" -> 1.5)
+    expect.foreach { case (n, v) =>
+      assert(math.abs(
+        m(n).getAs[Double]("average_degree_connectivity") - v) < 1e-12, n)
+    }
+  }
+
+  test("eccentricity matches networkx; -1 on disconnected graphs") {
+    val expect = Map("A" -> 2L, "B" -> 2L, "C" -> 2L, "D" -> 3L, "E" -> 3L)
+    expect.foreach { case (n, e) =>
+      assert(m(n).getAs[Long]("eccentricity") === e, n)
+    }
+    val disc = Seq((1L, "A", "B"), (1L, "C", "D")).toDF("visit_id", "src", "dst")
+    val dn = Seq((1L, "A", "Request", ""), (1L, "B", "Request", ""),
+      (1L, "C", "Request", ""), (1L, "D", "Request", ""))
+      .toDF("visit_id", "name", "type", "attr")
+    val ecc = GraphMetrics.structure(dn, disc)
+      .select("name", "eccentricity").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ecc.values.toSet === Set(-1L))
+  }
+
+  test("script ancestry flags and graph-level ratios") {
+    assert(m("C").getAs[Int]("is_parent_script") === 1) // B is Script parent
+    assert(m("D").getAs[Int]("is_parent_script") === 0)
+    assert(m("D").getAs[Int]("is_ancestor_script") === 1) // B,E upstream
+    assert(m("B").getAs[Long]("num_nodes") === 5L)
+    assert(m("B").getAs[Long]("num_edges") === 5L)
+    assert(m("B").getAs[Double]("nodes_div_by_edges") === 1.0)
+  }
+
+  test("dataflow counts fuse per-direction aggregations") {
+    val e = Seq(
+      (1L, "s1", "ck1", "set_js", "N/A", "200"),
+      (1L, "s1", "ck1", "get_js", "N/A", "200"),
+      (1L, "s1", "ls1", "set_storage_js", "N/A", "200"),
+      (1L, "u1", "u2", "N/A", """[["Accept","*"]]""", "301"),
+      (1L, "u2", "u3", "N/A", """[["Accept","*"]]""", "302"),
+      (1L, "u3", "u4", "N/A", """[["Accept","*"]]""", "200"))
+      .toDF("visit_id", "src", "dst", "action", "reqattr", "response_status")
+    val d = DataflowFeatures.dataflow(e)
+      .collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(d("s1").getAs[Long]("num_set_cookie") === 1L)
+    assert(d("s1").getAs[Long]("num_get_cookie") === 1L)
+    assert(d("s1").getAs[Long]("num_set_storage") === 2L)
+    assert(d("u1").getAs[Long]("num_redirects_sent") === 1L)
+    assert(d("u2").getAs[Long]("num_redirects_rec") === 1L)
+    assert(d("u2").getAs[Long]("num_requests_sent") === 1L)
+    // redirect depth: u1 -(301)-> u2 -(302)-> u3; u3->u4 is 200 (not in subgraph)
+    assert(d("u2").getAs[Long]("max_depth_redirect") === 1L)
+    assert(d("u3").getAs[Long]("max_depth_redirect") === 2L)
+    assert(d("u1").getAs[Long]("max_depth_redirect") === 0L)
+  }
+
+  test("content features: urlparse/parse_qs/keyword semantics") {
+    val (q, p) = ContentFeatures.urlQueryParams(
+      "http://x.example/a/b;pk=1?id_a=1&bid=2&empty=#frag")
+    assert(q === "id_a=1&bid=2&empty=")
+    assert(p === "pk=1")
+    assert(ContentFeatures.qsKeys(q) === Seq("id_a", "bid"))
+    // "bid" keyword preceded by '&' -> raw + char flags
+    assert(ContentFeatures.keywordFlags("http://x.example/?z=1&bid=2") === (1, 1))
+    // keyword not preceded by delimiter char ("xbid")
+    assert(ContentFeatures.keywordFlags("http://x.example/xbidy") === (1, 0))
+    assert(ContentFeatures.keywordFlags("http://zzz.example/qqq") === (0, 0))
+
+    val n = Seq((1L, "http://ads.example/track?uid=9&size=728x90", "Request",
+      """{"content_policy_type":"image"}""", "ads.example", "site.example"))
+      .toDF("visit_id", "name", "type", "attr", "domain", "top_level_domain")
+    val c = ContentFeatures.content(n).collect()(0)
+    assert(c.getAs[Int]("node_type") === 2)
+    assert(c.getAs[String]("content_policy_type") === "image")
+    assert(c.getAs[Int]("is_third_party") === 1)
+    assert(c.getAs[Int]("ad_size_present") === 1)
+    assert(c.getAs[Int]("ad_size_in_qs_present") === 1)
+    assert(c.getAs[Int]("keyword_char_present") === 1)
+    assert(c.getAs[Int]("num_url_queries") === 2)
+  }
+
+  test("feature matrix joins layers over classifiable nodes; labelling") {
+    val (nodesU, edgesU) = webgraph.GraphAssembly.unifiedGraph(
+      webgraph.FixtureCrawl.requests(spark), webgraph.FixtureCrawl.responses(spark),
+      webgraph.FixtureCrawl.redirects(spark), webgraph.FixtureCrawl.callstacks(spark),
+      webgraph.FixtureCrawl.jsCalls(spark))
+    val feats = FeatureExtraction.features(nodesU, edgesU)
+    assert(feats.count() > 0)
+    assert(feats.where(col("in_degree").isNull).count() === 0 ||
+      feats.columns.contains("in_degree"))
+    // no Element/Storage rows in the matrix
+    val names = feats.select("name").collect().map(_.getString(0))
+    assert(!names.exists(_.startsWith("Element_")))
+    assert(!names.exists(_.contains("|$$|")))
+
+    // labelling runs over the NODE table (as in the reference) — call-stack
+    // script urls that appear only as edge endpoints are not labeled rows
+    val patterns = Seq("tracker.", "/pixel").toDF("pattern")
+    val labels = FeatureExtraction.label(nodesU, patterns)
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[Boolean]("label")).toMap
+    assert(labels("http://cdn.example/pixel.gif") === true)
+    assert(labels("http://static.example/lib.js") === false)
+    assert(labels("http://t.example/final") === false)
+  }
+}

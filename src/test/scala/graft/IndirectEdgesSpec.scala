@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.features.IndirectEdges
+
+/** J7-J10 shared-information edges on a hand-built storage/http edge table:
+  * set→get pairing, first-setter→modifier split, cookie-value-in-URL theta
+  * (raw/split/b64/md5 variants), Cookie-header 2-hop presence. */
+class IndirectEdgesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val md5abcd1234 = "e19d5cd5af0378da05f63f891c7467af" // md5("abcd1234")
+
+  private def edgeRows = Seq(
+    // (visit, src, dst, action, attr, reqattr, time_stamp)
+    (1L, "http://s1.x/a.js", "ck|$$|x", "set_js", """{"value":"abcd1234"}""", "N/A", "t1"),
+    (1L, "http://s2.x/b.js", "ck|$$|x", "set_js", """{"value":"zzzz9999"}""", "N/A", "t2"),
+    (1L, "http://s3.x/c.js", "ck|$$|x", "get_js", null, "N/A", "t3"),
+    (1L, "http://s1.x/a.js", "ls|$$|x|$$|LS", "set_storage_js", """{"value":"vv"}""", "N/A", "t4"),
+    // http chain: page -> tracker (carries Cookie header) -> beacon url
+    // containing the cookie value
+    (1L, "http://page.x/", "http://t.x/sync", "N/A",
+      null, """[["Cookie","uid=abcd1234"]]""", "t5"),
+    (1L, "http://t.x/sync", "http://b.x/p?uid=abcd1234", "N/A",
+      null, """[["Accept","*"]]""", "t6"),
+    // a request whose URL embeds md5 of the cookie value (set_url catch)
+    (1L, "http://page.x/", s"http://cdn.x/img/$md5abcd1234.gif", "N/A",
+      null, """[["Accept","*"]]""", "t7")
+  ).toDF("visit_id", "src", "dst", "action", "attr", "reqattr", "time_stamp")
+
+  private lazy val out = IndirectEdges.build(edgeRows)
+    .collect()
+    .groupBy(_.getAs[String]("type"))
+
+  test("set_get links every setter to every getter of the key") {
+    val sg = out("set_get").map(r =>
+      (r.getAs[String]("src"), r.getAs[String]("dst"), r.getAs[Long]("attr"))).toSet
+    assert(sg === Set(
+      ("http://s1.x/a.js", "http://s3.x/c.js", 1L),
+      ("http://s2.x/b.js", "http://s3.x/c.js", 1L)))
+  }
+
+  test("set_modify links the earliest setter to later setters only") {
+    val sm = out("set_modify").map(r =>
+      (r.getAs[String]("src"), r.getAs[String]("dst"))).toSet
+    assert(sm === Set(("http://s1.x/a.js", "http://s2.x/b.js")))
+  }
+
+  test("set_url finds raw and md5-hashed cookie values in request URLs") {
+    val su = out("set_url").map(r =>
+      (r.getAs[String]("src"), r.getAs[String]("dst"))).toSet
+    assert(su.contains(("http://s1.x/a.js", "http://b.x/p?uid=abcd1234")))
+    assert(su.contains(("http://s1.x/a.js", s"http://cdn.x/img/$md5abcd1234.gif")))
+    assert(!su.exists(_._1 == "http://s2.x/b.js")) // zzzz9999 appears nowhere
+  }
+
+  test("get_url follows the 2-hop request chain via Cookie header values") {
+    val gu = out("get_url").map(r =>
+      (r.getAs[String]("src"), r.getAs[String]("dst"))).toSet
+    assert(gu === Set(("http://page.x/", "http://b.x/p?uid=abcd1234")))
+  }
+
+  test("predicates: split-partial and length guard") {
+    assert(IndirectEdges.cookieValueInUrl("ab.cdefgh", "http://x/?q=cdefgh"))
+    assert(!IndirectEdges.cookieValueInUrl("ab", "http://x/?q=ab")) // len <= 3
+    assert(IndirectEdges.cookiePresence(
+      """[["Cookie","sid=longvalue123"]]""", "http://x/?v=longvalue123"))
+    assert(!IndirectEdges.cookiePresence(
+      """[["Accept","longvalue123"]]""", "http://x/?v=longvalue123"))
+  }
+}
