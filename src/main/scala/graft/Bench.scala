@@ -21,8 +21,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val sites = sys.env.getOrElse("SPARK_GRAFT_BENCH_SITES", "800").toInt
-    val pagesPerSite = sys.env.getOrElse("SPARK_GRAFT_BENCH_PPS", "60").toInt
+    // big enough that PageRank supersteps are shuffle-dominated, not
+    // fixed-overhead-dominated (~1M edges; cf. BASELINE.md saturation notes)
+    val sites = sys.env.getOrElse("SPARK_GRAFT_BENCH_SITES", "2000").toInt
+    val pagesPerSite = sys.env.getOrElse("SPARK_GRAFT_BENCH_PPS", "100").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algo._
+import graft.checkpoint.ParquetStore
+import graft.graphbuild.EdgeBuilder
+import graft.model.Page
+
+/** The production entry point (north rule: "launched via spark-submit on
+  * multi-executor clusters"):
+  *
+  *   spark-submit --class graft.tools.Pipeline <jar> \
+  *     --pages <parquet dir>  (url, warc_ts, html, text, lang)  \
+  *     --out <dir>  [--partitions N] [--tol 1e-6] [--checkpoint <dir>] \
+  *     [--run-id <id>]
+  *
+  * Stages (each written as parquet under --out; resumable through
+  * --checkpoint + --run-id mid-PageRank):
+  *   edges/      deduplicated url-normalized hashed-id edge table
+  *   vertices/   id → url, eTLD+1 dictionary
+  *   degrees/    in/out degrees
+  *   pagerank/   (id, rank) to --tol convergence, dangling-aware
+  *   components/ (id, comp) exact
+  *   labels/     (id, label) label propagation
+  *   triangles/  (id, triangles) exact per-vertex counts
+  *   metrics.json  superstep metrics (steps, measures, seconds)
+  *
+  * When --pages is omitted a deterministic synthetic corpus is generated
+  * (--sites/--pps), satisfying the no-external-data rule for local runs.
+  */
+object Pipeline {
+
+  private def arg(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = arg(args, "out").getOrElse(
+      sys.error("--out <dir> is required"))
+    val partitions = arg(args, "partitions").map(_.toInt).getOrElse(32)
+    val tol = arg(args, "tol").map(_.toDouble).getOrElse(1e-6)
+
+    val builder = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", partitions)
+      .config("spark.sql.session.timeZone", "UTC")
+    // spark-submit injects spark.master; standalone runs default to local
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(arg(args, "master").getOrElse("local[*]")))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val pages = arg(args, "pages") match {
+      case Some(dir) => spark.read.parquet(dir).as[Page]
+      case None => graft.sources.PagesGen.generate(spark,
+        sites = arg(args, "sites").map(_.toInt).getOrElse(200),
+        pagesPerSite = arg(args, "pps").map(_.toInt).getOrElse(50),
+        seed = 42L, partitions = partitions)
+    }
+
+    val (_, edgesDs, vertices) = EdgeBuilder.build(pages)
+    edgesDs.write.mode(SaveMode.Overwrite).parquet(s"$out/edges")
+    vertices.write.mode(SaveMode.Overwrite).parquet(s"$out/vertices")
+
+    val edges = spark.read.parquet(s"$out/edges")
+      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+    EdgeBuilder.degrees(spark.read.parquet(s"$out/edges")
+        .as[graft.model.Edge])
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/degrees")
+
+    val store = arg(args, "checkpoint").map(dir =>
+      new ParquetStore(dir, arg(args, "run-id").getOrElse("pipeline")))
+    val prCfg = store.map(s => Superstep.Config(partitions, 200, tol,
+      checkpointEvery = 5, store = Some(s), verbose = true))
+
+    val pr = PageRank.run(edges,
+      PageRank.Params(tol = tol, maxIter = 200, numPartitions = partitions),
+      prCfg)
+    pr.state.write.mode(SaveMode.Overwrite).parquet(s"$out/pagerank")
+
+    val cc = ConnectedComponents.run(edges, partitions)
+    cc.state.write.mode(SaveMode.Overwrite).parquet(s"$out/components")
+
+    val lp = LabelPropagation.run(edges, partitions)
+    lp.state.write.mode(SaveMode.Overwrite).parquet(s"$out/labels")
+
+    val (tri, triTotal) = TriangleCount.perVertexAndTotal(edges, partitions)
+    tri.write.mode(SaveMode.Overwrite).parquet(s"$out/triangles")
+
+    val metrics = Seq(
+      ("pagerank", pr.steps, pr.metrics.map(_.seconds).sum),
+      ("components", cc.steps, cc.metrics.map(_.seconds).sum),
+      ("labels", lp.steps, lp.metrics.map(_.seconds).sum))
+      .map { case (n, st, sec) =>
+        f"""{"stage":"$n","supersteps":$st,"seconds":$sec%.2f}""" }
+      .mkString("[", ",", s"""],"triangles_total":$triTotal""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/metrics.json"),
+      s"""{"stages":$metrics}""")
+    println(s"pipeline complete -> $out (triangles=$triTotal, pr_steps=${pr.steps})")
+    spark.stop()
+  }
+}

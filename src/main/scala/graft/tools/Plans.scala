@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan inspection harness: prints `explain("formatted")` for the
+  * plan-shape-critical queries so scan pushdown (PushedFilters/ReadSchema),
+  * join strategies (broadcast vs SMJ), and exchange counts are reviewable —
+  * findings and invariants live in PLANS.md. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("a1_agg_lineitem", "p1_project_flags", "j1_join_chain",
+        "w1_latest_per_user", "d2_jaccard_pairs", "e1_knn_bruteforce",
+        "t2_quality")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algo.{ApproxReachability, Reachability}
+import graft.ext.GraftExtensions
+import graft.norm.Etld1
+
+/** Native expression registration + HLL reachability propagation. */
+class ExtAndApproxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("etld1 native expression matches Etld1.ofUrl incl. nulls, in SQL") {
+    GraftExtensions.register(spark)
+    val urls = Seq(
+      "http://a.b.site0.example/p1", "https://x.co.uk/q", "http://single",
+      "http://127.0.0.1/x", "HTTP://WWW.Site.COM:80/z", null)
+    val got = urls.toDF("url")
+      .selectExpr("url", "etld1(url) AS d")
+      .collect().map(r => Option(r.getString(0)) -> Option(r.getString(1))).toMap
+    urls.foreach { u =>
+      assert(got(Option(u)) === Option(Etld1.ofUrl(u)), s"url=$u")
+    }
+    assert(got(Some("https://x.co.uk/q")) === Some("x.co.uk"))
+    assert(got(Some("http://127.0.0.1/x")) === None)
+    assert(got(None) === None)
+  }
+
+  test("etld1 expression stays codegen'd (no UDF node in the plan)") {
+    GraftExtensions.register(spark)
+    val plan = Seq("http://a.example/").toDF("url")
+      .selectExpr("etld1(url)").queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("HLL descendant counts equal exact closure on small graphs " +
+    "(sparse-mode-exact regime)") {
+    val edges = (
+      (0L to 9L).map(i => (i, i + 1)) ++        // chain 0..10
+        Seq((20L, 21L), (21L, 22L), (22L, 20L)) // 3-cycle
+      ).toDF("src", "dst")
+    val exact = Reachability.descendantCounts(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = ApproxReachability.descendantCounts(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (id, d) =>
+      assert(approx(id) === d, s"vertex $id")
+    }
+  }
+}
