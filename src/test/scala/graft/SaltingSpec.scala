@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algo.Salting
+
+/** Salted aggregation correctness: identical results to the plain path on
+  * a skewed key distribution, deterministic across partitionings. */
+class SaltingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // hub key 0 has 5000 rows; 100 cold keys have ~10 each
+  private lazy val skewed = (
+    (1 to 5000).map(i => (0L, i.toDouble)) ++
+      (1 to 1000).map(i => ((i % 100 + 1).toLong, i.toDouble))
+    ).toDF("k", "v")
+
+  test("saltedCount == plain groupBy count on skewed keys") {
+    val plain = skewed.groupBy("k").agg(count(lit(1)).as("count"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Salting.saltedCount(skewed, "k", salts = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("saltedAgg sum/min/max == plain aggregation") {
+    val plain = skewed.groupBy("k")
+      .agg(sum(col("v").cast("decimal(20,2)")).as("s"), min("v").as("mn"),
+        max("v").as("mx"))
+      .collect().map(r => (r.getLong(0), (r.getDecimal(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val salted = Salting.saltedAgg(skewed, Seq("k"), 16,
+      partial = Seq(sum(col("v").cast("decimal(20,2)")).as("s"),
+        min("v").as("mn"), max("v").as("mx")),
+      merge = Seq(sum(col("s")).as("s"), min("mn").as("mn"),
+        max("mx").as("mx")))
+      .collect().map(r => (r.getLong(0), (r.getDecimal(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(salted.keySet === plain.keySet)
+    plain.foreach { case (k, (s, mn, mx)) =>
+      val (s2, mn2, mx2) = salted(k)
+      assert(s2.compareTo(s) === 0, s"sum k=$k")
+      assert(mn2 === mn && mx2 === mx, s"minmax k=$k")
+    }
+  }
+
+  test("splitHotKeys partitions rows exactly at the threshold") {
+    val (hot, cold) = Salting.splitHotKeys(skewed, "k", threshold = 100)
+    assert(hot.select("k").distinct().collect().map(_.getLong(0)).toSet === Set(0L))
+    assert(hot.count() === 5000L)
+    assert(cold.count() === 1000L)
+  }
+
+  test("salt is deterministic across partitionings") {
+    val a = skewed.repartition(2)
+    val b = skewed.repartition(13)
+    val sa = a.withColumn("s", Salting.salt(a, 8)).groupBy("s").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sb = b.withColumn("s", Salting.salt(b, 8)).groupBy("s").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sa === sb)
+  }
+}
