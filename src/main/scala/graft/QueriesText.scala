@@ -218,6 +218,72 @@ object QueriesText {
         .withColumnRenamed("rank", "rnk")
     }, None),
 
+    // DF1: the fused per-node dataflow-feature layer (SURVEY §2.4 A8) over
+    // an events-derived storage/http edge table both engines can build —
+    // checks the conditional-sum fusion and the redirect-depth plumbing
+    // (bipartite u→k edges ⇒ depths ∈ {0,1}).
+    ("df1_dataflow_features", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val edges = t(dir, "events").select(
+        (col("user_id") % 10).as("visit_id"),
+        concat(lit("u"), col("user_id")).as("src"),
+        concat(lit("k"), get_json_object(col("props"), "$.k")).as("dst"),
+        when(col("event_type") === "click", "get_js")
+          .when(col("event_type") === "signup", "set_js")
+          .when(col("event_type") === "purchase", "set_storage_js")
+          .when(col("event_type") === "view", "get_storage_js")
+          .otherwise("set").as("action"),
+        when(col("event_type") === "error", """[["Accept","*"]]""")
+          .otherwise("N/A").as("reqattr"),
+        when(col("value") > 15.0, "301").otherwise("200")
+          .as("response_status"))
+      graft.features.DataflowFeatures.dataflow(edges)
+    }, Some(
+      """WITH edges AS (SELECT user_id % 10 AS visit_id,
+        |    'u' || user_id AS src,
+        |    'k' || json_extract_string(props, '$.k') AS dst,
+        |    CASE event_type WHEN 'click' THEN 'get_js' WHEN 'signup' THEN 'set_js'
+        |      WHEN 'purchase' THEN 'set_storage_js' WHEN 'view' THEN 'get_storage_js'
+        |      ELSE 'set' END AS action,
+        |    CASE WHEN event_type = 'error' THEN '[["Accept","*"]]' ELSE 'N/A' END AS reqattr,
+        |    CASE WHEN value > 15.0 THEN '301' ELSE '200' END AS response_status
+        |  FROM events),
+        |s AS (SELECT visit_id, src AS name,
+        |    SUM(CASE WHEN action IN ('get','get_js') THEN 1 ELSE 0 END) AS num_get_cookie,
+        |    SUM(CASE WHEN action IN ('set','set_js') THEN 1 ELSE 0 END) AS num_set_cookie,
+        |    SUM(CASE WHEN action = 'get_storage_js' THEN 1 ELSE 0 END) AS g_ls,
+        |    SUM(CASE WHEN action = 'set_storage_js' THEN 1 ELSE 0 END) AS s_ls,
+        |    SUM(CASE WHEN TRY_CAST(response_status AS INT) IN (300,301,302,303,307,308) THEN 1 ELSE 0 END) AS num_redirects_sent,
+        |    SUM(CASE WHEN reqattr IS NOT NULL AND reqattr NOT IN ('CS','N/A') THEN 1 ELSE 0 END) AS num_requests_sent
+        |  FROM edges GROUP BY visit_id, src),
+        |d AS (SELECT visit_id, dst AS name,
+        |    SUM(CASE WHEN TRY_CAST(response_status AS INT) IN (300,301,302,303,307,308) THEN 1 ELSE 0 END) AS num_redirects_rec,
+        |    SUM(CASE WHEN reqattr IS NOT NULL AND reqattr NOT IN ('CS','N/A') THEN 1 ELSE 0 END) AS num_requests_received
+        |  FROM edges GROUP BY visit_id, dst),
+        |redverts AS (SELECT DISTINCT visit_id, name FROM (
+        |    SELECT visit_id, src AS name FROM edges WHERE TRY_CAST(response_status AS INT) IN (300,301,302,303,307,308)
+        |    UNION ALL
+        |    SELECT visit_id, dst FROM edges WHERE TRY_CAST(response_status AS INT) IN (300,301,302,303,307,308))),
+        |dep AS (SELECT rv.visit_id, rv.name,
+        |    CASE WHEN EXISTS (SELECT 1 FROM edges e WHERE e.visit_id = rv.visit_id
+        |      AND e.dst = rv.name AND TRY_CAST(e.response_status AS INT) IN (300,301,302,303,307,308))
+        |    THEN 1 ELSE 0 END AS max_depth_redirect
+        |  FROM redverts rv)
+        |SELECT COALESCE(s.visit_id, d.visit_id) AS visit_id,
+        |  COALESCE(s.name, d.name) AS name,
+        |  COALESCE(num_get_cookie, 0) AS num_get_cookie,
+        |  COALESCE(num_set_cookie, 0) AS num_set_cookie,
+        |  COALESCE(num_redirects_sent, 0) AS num_redirects_sent,
+        |  COALESCE(num_requests_sent, 0) AS num_requests_sent,
+        |  COALESCE(num_redirects_rec, 0) AS num_redirects_rec,
+        |  COALESCE(num_requests_received, 0) AS num_requests_received,
+        |  COALESCE(dep.max_depth_redirect, 0) AS max_depth_redirect,
+        |  COALESCE(num_get_cookie, 0) + COALESCE(g_ls, 0) AS num_get_storage,
+        |  COALESCE(num_set_cookie, 0) + COALESCE(s_ls, 0) AS num_set_storage
+        |FROM s FULL OUTER JOIN d ON s.visit_id = d.visit_id AND s.name = d.name
+        |LEFT JOIN dep ON dep.visit_id = COALESCE(s.visit_id, d.visit_id)
+        |  AND dep.name = COALESCE(s.name, d.name)""".stripMargin)),
+
     // M1: multimodal metadata decode — synthetic binary assets (image/
     // audio/video payloads behind a stub codec), partition-parallel
     // mapPartitions decode, aggregated per kind. Generator is engine-side →
