@@ -21,6 +21,9 @@ case class Etld1Expression(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "etld1"
+  // deterministic pure function of the input → constant-foldable, so
+  // etld1(<literal>) disappears at optimization time
+  override def foldable: Boolean = child.foldable
 
   override def nullSafeEval(input: Any): Any = {
     val r = Etld1Expression.eval(input.asInstanceOf[UTF8String])
