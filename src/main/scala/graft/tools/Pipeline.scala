@@ -47,6 +47,7 @@ object Pipeline {
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
     // spark-submit injects spark.master; standalone runs default to local
     val spark = (if (sys.props.contains("spark.master")) builder
       else builder.master(arg(args, "master").getOrElse("local[*]")))
