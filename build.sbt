@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes through UNDECORATED (no sbt [info]/[error]
+// prefixes): the round driver parses Bench's final stdout line as bare JSON.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -28,3 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// the whole suite shares one forked JVM; the feature-matrix suites push
+// cumulative cached/checkpointed state past 8g (host has 128 GiB)
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "16g")}"

@@ -43,11 +43,13 @@ object Bench {
     // ---- headline: the north-rule pipeline -------------------------------
     val pages = PagesGen.generate(spark, sites, pagesPerSite, seed = 42L,
       partitions = cpus)
+    // unique per run: concurrent benches must not clobber each other
+    val edgeDir = s"/tmp/graft_bench_edges_${ProcessHandle.current().pid()}"
     val (_, buildSec) = timed {
       EdgeBuilder.idEdges(EdgeBuilder.edges(EdgeBuilder.links(pages)))
-        .write.mode("overwrite").parquet("/tmp/graft_bench_edges")
+        .write.mode("overwrite").parquet(edgeDir)
     }
-    val edges = spark.read.parquet("/tmp/graft_bench_edges")
+    val edges = spark.read.parquet(edgeDir)
     val nEdges = edges.count()
 
     val (pr, prSec) = timed {
@@ -84,8 +86,14 @@ object Bench {
         f""""cc_sec":$ccSec%.2f,"cc_steps":${cc.steps},""" +
         f""""triangles":$tri,"triangles_sec":$triSec%.2f,"lp_sec":$lpSec%.2f}"""
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""graph":$graphJson,"cores":$cpus,"sf":"$sfDir"}""")
-    spark.stop()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""graph":$graphJson,"cores":$cpus,"sf":"$sfDir"}"""
+    // sidecar file for local iteration; stdout line is the driver contract
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    spark.stop() // stop FIRST so no Spark shutdown logs trail the JSON line
+    println(line)
+    System.out.flush()
   }
 }

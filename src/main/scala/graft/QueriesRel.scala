@@ -194,9 +194,9 @@ object QueriesRel {
           sum(when(col("rn") > 1 && col("event_type") === "purchase", 1L)
             .otherwise(0L)).as("later_purchases"))
     }, Some(
-      """SELECT user_id,
+      s"""SELECT user_id,
         |  MAX(CASE WHEN rn = 1 THEN event_id END) AS first_event,
-        |  SUM(CASE WHEN rn > 1 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS later_purchases
+        |  ${isumSql("CASE WHEN rn > 1 AND event_type = 'purchase' THEN 1 ELSE 0 END")} AS later_purchases
         |FROM (SELECT user_id, event_id, event_type,
         |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
         |      FROM events)
@@ -251,9 +251,9 @@ object QueriesRel {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           max(col("k")).as("max_k"))
     }, Some(
-      """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      s"""SELECT event_type, COUNT(*) AS n,
+        |  ${isumSql("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin)),
 
     // F12 (digest/encoding functions): md5 + base64 — the reference hashes
@@ -323,9 +323,9 @@ object QueriesRel {
         .groupBy(col("source"))
         .agg(sum(flagged).as("n_flagged"), count(lit(1)).as("n_docs"))
     }, Some(
-      """SELECT source,
-        |  SUM(CASE WHEN contains(text,'hash join') OR contains(text,'merge join')
-        |            OR contains(text,'window agg') THEN 1 ELSE 0 END) AS n_flagged,
+      s"""SELECT source,
+        |  ${isumSql("""CASE WHEN contains(text,'hash join') OR contains(text,'merge join')
+        |            OR contains(text,'window agg') THEN 1 ELSE 0 END""")} AS n_flagged,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY source""".stripMargin))
   )

@@ -52,9 +52,9 @@ object QueriesText {
           min(col("nt")).as("min_tokens"),
           max(col("nt")).as("max_tokens"))
     }, Some(
-      """SELECT lang, COUNT(*) AS n_docs,
-        |  SUM(length(string_split(text, ' '))) AS sum_tokens,
-        |  SUM(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS sum_bpeish,
+      s"""SELECT lang, COUNT(*) AS n_docs,
+        |  ${QueryUtil.isumSql("length(string_split(text, ' '))")} AS sum_tokens,
+        |  ${QueryUtil.isumSql("length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))")} AS sum_bpeish,
         |  MIN(length(string_split(text, ' '))) AS min_tokens,
         |  MAX(length(string_split(text, ' '))) AS max_tokens
         |FROM documents GROUP BY lang""".stripMargin)),
@@ -271,15 +271,15 @@ object QueriesText {
         |  FROM redverts rv)
         |SELECT COALESCE(s.visit_id, d.visit_id) AS visit_id,
         |  COALESCE(s.name, d.name) AS name,
-        |  COALESCE(num_get_cookie, 0) AS num_get_cookie,
-        |  COALESCE(num_set_cookie, 0) AS num_set_cookie,
-        |  COALESCE(num_redirects_sent, 0) AS num_redirects_sent,
-        |  COALESCE(num_requests_sent, 0) AS num_requests_sent,
-        |  COALESCE(num_redirects_rec, 0) AS num_redirects_rec,
-        |  COALESCE(num_requests_received, 0) AS num_requests_received,
+        |  CAST(COALESCE(num_get_cookie, 0) AS BIGINT) AS num_get_cookie,
+        |  CAST(COALESCE(num_set_cookie, 0) AS BIGINT) AS num_set_cookie,
+        |  CAST(COALESCE(num_redirects_sent, 0) AS BIGINT) AS num_redirects_sent,
+        |  CAST(COALESCE(num_requests_sent, 0) AS BIGINT) AS num_requests_sent,
+        |  CAST(COALESCE(num_redirects_rec, 0) AS BIGINT) AS num_redirects_rec,
+        |  CAST(COALESCE(num_requests_received, 0) AS BIGINT) AS num_requests_received,
         |  COALESCE(dep.max_depth_redirect, 0) AS max_depth_redirect,
-        |  COALESCE(num_get_cookie, 0) + COALESCE(g_ls, 0) AS num_get_storage,
-        |  COALESCE(num_set_cookie, 0) + COALESCE(s_ls, 0) AS num_set_storage
+        |  CAST(COALESCE(num_get_cookie, 0) + COALESCE(g_ls, 0) AS BIGINT) AS num_get_storage,
+        |  CAST(COALESCE(num_set_cookie, 0) + COALESCE(s_ls, 0) AS BIGINT) AS num_set_storage
         |FROM s FULL OUTER JOIN d ON s.visit_id = d.visit_id AND s.name = d.name
         |LEFT JOIN dep ON dep.visit_id = COALESCE(s.visit_id, d.visit_id)
         |  AND dep.name = COALESCE(s.name, d.name)""".stripMargin)),

@@ -21,4 +21,11 @@ object QueryUtil {
   /** Same, as SQL text. */
   def dsumSql(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(30,6))) AS DOUBLE)"
+
+  /** Integer SUM pinned to BIGINT on the DuckDB side. DuckDB's SUM over any
+    * integer type returns HUGEINT (int128), which the driver's value
+    * canonicalization renders differently from Spark's BIGINT — every
+    * integer sum in oracle SQL must go through this (mirror of [[dsumSql]]
+    * for the decimal case). */
+  def isumSql(expr: String): String = s"CAST(SUM($expr) AS BIGINT)"
 }

@@ -45,6 +45,19 @@ def main(out_dir, sf_dir):
             n_bad += 1
             continue
         try:
+            # Type-drift guard: DuckDB SUM(int) yields HUGEINT (int128) which
+            # the DRIVER's canonicalization (pandas path: HUGEINT -> float64)
+            # renders differently from Spark BIGINT even though this tool's
+            # fetchall() path sees identical python ints. Flag any such column
+            # as a failure so the local gate agrees with the driver gate.
+            drift = [(c, t) for c, t, *_ in
+                     con.execute(f"DESCRIBE {sql}").fetchall()
+                     if t in ("HUGEINT", "UHUGEINT", "UBIGINT")]
+            if drift:
+                print(f"[FAIL] {name}: oracle type drift (driver-incompatible): {drift}"
+                      f" — CAST to BIGINT/DOUBLE in the oracle SQL")
+                n_bad += 1
+                continue
             duck = con.execute(sql)
             dcols = [d[0] for d in duck.description]
             drows = duck.fetchall()
