@@ -36,29 +36,52 @@ object Dedup {
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
 
-  /** Exact pairwise Jaccard over docs sharing ≥1 shingle — shingle-join
-    * blocking, so only actually-overlapping pairs materialize (never the
-    * n² cross product). Output: (a_id, b_id, inter, uni, jaccard ≥ minJ). */
+  /** Exact pairwise Jaccard ≥ minJ via PREFIX FILTERING (the AllPairs/PPJoin
+    * candidate bound: Bayardo et al. WWW'07, Xiao et al. WWW'08 — public
+    * algorithms): order shingles globally by (document frequency, shingle)
+    * ascending and keep only each doc's first `|d| − ⌈minJ·|d|⌉ + 1`
+    * shingles for candidate generation. Any pair with J ≥ minJ must share a
+    * prefix shingle (if not, all shared shingles fit in suffixes of length
+    * ⌈minJ·|d|⌉ − 1 < the required overlap), so recall is GUARANTEED — and
+    * corpus-frequent hub shingles sort last, so they almost never enter a
+    * prefix: the d² blow-up of a naive shingle self-join on hub shingles
+    * (the 100 TB scale-killer) is structurally gone. Candidates are then
+    * verified exactly with array_intersect on the full shingle sets.
+    * Output: (a_id, b_id, inter, uni, jaccard ≥ minJ) — identical to the
+    * naive exact join. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJ: Double = 0.8): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n).persist()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("id").as("a_id"), col("sh"))
-      .join(sh.select(col("id").as("b_id"), col("sh")), Seq("sh"))
+    val withSh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("shs"))
+    // candidate generation runs entirely on 64-bit shingle HASHES (narrow
+    // shuffle keys); a hash collision can only ADD a candidate, and the
+    // exact array_intersect verify below removes it — exactness holds
+    val sh = withSh.select(col("id"),
+      explode(col("shs")).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("sh"))
+      .distinct() // keep SET semantics if two shingles of one doc collide
+    val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfc, Seq("sh"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df").asc, col("sh").asc)))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    // df=1 prefix shingles can't produce a candidate — drop before the join
+    val prefix = ranked
+      .where(col("df") > 1 && col("rn") <= col("sz") - ceil(col("sz") * minJ) + 1)
+      .select(col("id"), col("sh"))
+    val cands = prefix.select(col("sh"), col("id").as("a_id"))
+      .join(prefix.select(col("sh"), col("id").as("b_id")), Seq("sh"))
       .where(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(sizes.select(col("id").as("a_id"), col("sz").as("sa")), Seq("a_id"))
-      .join(sizes.select(col("id").as("b_id"), col("sz").as("sb")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), col("inter"),
-        (col("sa") + col("sb") - col("inter")).as("uni"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cands
+      .join(withSh.select(col("id").as("a_id"), col("shs").as("sha")), Seq("a_id"))
+      .join(withSh.select(col("id").as("b_id"), col("shs").as("shb")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .where(col("jaccard") >= minJ)
       .select("a_id", "b_id", "inter", "uni", "jaccard")
-    out.count() // materialize before unpersisting the shingle view
-    sh.unpersist(false)
-    out
   }
 
   /** MinHash signatures: k independent permutations simulated by

@@ -135,7 +135,10 @@ object IndirectEdges {
       .where(col("reqattr").isNotNull && col("reqattr") =!= "CS" &&
         col("reqattr") =!= "N/A")
       .select(col("visit_id"), col("dst").as("url")).distinct()
-    valueSrc.join(broadcast(targets), Seq("visit_id"))
+    // Broadcast the SMALL side: distinct len>3 cookie values (reference
+    // design note SURVEY §2.3 J9). `targets` is every distinct HTTP URL —
+    // the corpus-scale fact side — and must stream, never broadcast.
+    broadcast(valueSrc).join(targets, Seq("visit_id"))
       .where(inUrl(col("cv"), col("url")))
       .select(col("visit_id"), col("src"), col("url").as("dst"))
       .groupBy(col("visit_id"), col("src"), col("dst"))
@@ -146,19 +149,43 @@ object IndirectEdges {
   /** A8 ×8: per-node in/out counts over each indirect-edge family
     * (the reference's indirect-type count features,
     * /root/reference/code/features/dataflow.py:148-155) — one pivot-style
-    * aggregation per direction over the unioned indirect edges. */
-  def counts(edges: DataFrame): DataFrame = {
-    val ind = build(edges)
-    val types = Seq("set_get", "set_modify", "set_url", "get_url")
-    def aggs(dir0: String) = types.map(t =>
-      sum(when(col("type") === t, col("attr")).otherwise(0L))
-        .as(s"num_${t}_$dir0"))
-    val oa = aggs("out"); val ia = aggs("in")
+    * aggregation per direction over the unioned indirect edges.
+    *
+    * Reference semantics: the indirect table has one ROW per
+    * (src, dst, type) with attr = multiplicity (utils.py:424,466,484), and
+    * the features are `len(rows)` — distinct-partner counts, NOT weight
+    * sums. Names follow features.yaml (num_set_get_src … num_get_url_dst;
+    * type set_modify shortens to set_mod). Takes the BUILT indirect table
+    * so callers share one build with [[weights]] / composed metrics. */
+  def counts(ind: DataFrame): DataFrame = {
+    val types = Seq("set_get" -> "set_get", "set_modify" -> "set_mod",
+      "set_url" -> "set_url", "get_url" -> "get_url")
+    def aggs(dir0: String) = types.map { case (t, short) =>
+      sum(when(col("type") === t, 1L).otherwise(0L))
+        .as(s"num_${short}_$dir0")
+    }
+    val oa = aggs("src"); val ia = aggs("dst")
     val outC = ind.groupBy(col("visit_id"), col("src").as("name"))
       .agg(oa.head, oa.tail: _*)
     val inC = ind.groupBy(col("visit_id"), col("dst").as("name"))
       .agg(ia.head, ia.tail: _*)
     outC.join(inC, Seq("visit_id", "name"), "full_outer").na.fill(0L)
+  }
+
+  /** Indirect edge-weight stats per node (dataflow.py:169-180): mean/min/
+    * max over the attr multiplicities of in- and out-edges across ALL four
+    * families. Only nodes with edges in that direction get values; the
+    * caller fills the reference's −1 default. */
+  def weights(ind: DataFrame): DataFrame = {
+    val outW = ind.groupBy(col("visit_id"), col("src").as("name"))
+      .agg(avg(col("attr")).as("indirect_mean_out_weights"),
+        min(col("attr")).as("indirect_min_out_weights"),
+        max(col("attr")).as("indirect_max_out_weights"))
+    val inW = ind.groupBy(col("visit_id"), col("dst").as("name"))
+      .agg(avg(col("attr")).as("indirect_mean_in_weights"),
+        min(col("attr")).as("indirect_min_in_weights"),
+        max(col("attr")).as("indirect_max_in_weights"))
+    inW.join(outW, Seq("visit_id", "name"), "full_outer")
   }
 
   private def getUrl(edges: DataFrame): DataFrame = {
