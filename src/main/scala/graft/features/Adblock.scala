@@ -1,0 +1,172 @@
+package graft.features
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Adblock-Plus filter-rule matching — the subset the reference exercises
+  * through adblockparser (/root/reference/code/labelling/node_labelling.py:
+  * 22-91 and filterlists.py:61-91): blocking and `@@` exception rules,
+  * `||` host anchors, `|` start/end anchors, `*` wildcards, `^` separators,
+  * and the option set the reference passes (`third-party`, `script`,
+  * `image`, `stylesheet`, `xmlhttprequest`, `subdocument`, `domain=`).
+  *
+  * The pattern→regex translation follows the public Adblock Plus filter
+  * syntax (as implemented by the open-source `adblockparser` library the
+  * reference depends on): escape regex metacharacters, `^` → separator
+  * class (anything but letter/digit/`_-.%`, or end of address), `*` → `.*`,
+  * trailing `|` → `$`, leading `||` → optional scheme + subdomain prefix,
+  * leading `|` → `^`.
+  *
+  * Rules are compiled ONCE on the driver and shipped inside a UDF closure
+  * (a broadcast variable in spirit — filter lists are a few thousand rules,
+  * always the small dimension at corpus scale). Element-hiding rules,
+  * comments, and rules with options outside the supported set are skipped,
+  * mirroring the reference's use (it only ever queries the options above).
+  */
+object Adblock {
+
+  /** Option constraints a rule carries. `typeOpts`: resource-type binary
+    * options with their expected value; `thirdParty`: required third-party
+    * state if constrained; `domains`: (negated?, domain) page-domain
+    * constraints from `$domain=`. */
+  final case class Rule(
+      regex: Pattern, exception: Boolean,
+      thirdParty: Option[Boolean],
+      typeOpts: Map[String, Boolean],
+      domains: Seq[(Boolean, String)])
+
+  private val supportedTypes =
+    Set("script", "image", "stylesheet", "xmlhttprequest", "subdocument")
+
+  /** Adblock pattern → anchored regex (public ABP translation). */
+  private[features] def patternToRegex(raw: String): String = {
+    var rule = raw
+    val sb = new StringBuilder
+    val endAnchor = rule.nonEmpty && rule.last == '|' &&
+      !(rule.length == 1) // a lone "|" start-anchors an empty pattern
+    if (endAnchor) rule = rule.dropRight(1)
+    val (prefix, body) =
+      if (rule.startsWith("||"))
+        ("^(?:[^:/?#]+:)?(?://(?:[^/?#]*\\.)?)?", rule.drop(2))
+      else if (rule.startsWith("|")) ("^", rule.drop(1))
+      else ("", rule)
+    sb.append(prefix)
+    body.foreach {
+      case '*' => sb.append(".*")
+      case '^' => sb.append("(?:[^\\w\\-.%]|$)")
+      case c if "\\.$+?{}()[]|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (endAnchor) sb.append('$')
+    sb.toString
+  }
+
+  /** Parse one filter-list line; None for comments, element-hiding rules,
+    * empty lines, and rules carrying unsupported options. */
+  def parseRule(line0: String): Option[Rule] = {
+    val line = line0.trim
+    if (line.isEmpty || line.startsWith("!") || line.startsWith("[") ||
+      line.contains("##") || line.contains("#@#")) return None
+    val (exception, rest0) =
+      if (line.startsWith("@@")) (true, line.drop(2)) else (false, line)
+    val dollar = rest0.lastIndexOf('$')
+    val (pat, optStr) =
+      if (dollar > 0) (rest0.substring(0, dollar), rest0.substring(dollar + 1))
+      else (rest0, "")
+    var thirdParty: Option[Boolean] = None
+    var typeOpts = Map.empty[String, Boolean]
+    var domains = Seq.empty[(Boolean, String)]
+    if (optStr.nonEmpty) {
+      optStr.split(',').foreach { o0 =>
+        val o = o0.trim
+        val neg = o.startsWith("~")
+        val name = if (neg) o.drop(1) else o
+        if (name == "third-party") thirdParty = Some(!neg)
+        else if (supportedTypes.contains(name)) typeOpts += (name -> !neg)
+        else if (name.startsWith("domain=") && !neg)
+          domains = name.drop(7).split('|').toSeq
+            .filter(_.nonEmpty)
+            .map(d => (d.startsWith("~"), d.stripPrefix("~")))
+        else return None // unsupported option: skip the whole rule
+      }
+    }
+    if (pat.isEmpty) return None
+    Some(Rule(Pattern.compile(patternToRegex(pat)), exception, thirdParty,
+      typeOpts, domains))
+  }
+
+  def parseList(lines: Seq[String]): Seq[Rule] = lines.flatMap(parseRule)
+
+  private def domainMatches(pageDomain: String, d: String): Boolean =
+    pageDomain == d || pageDomain.endsWith("." + d)
+
+  /** adblockparser option semantics: every option the rule carries must be
+    * satisfied by the request's context. Requested resource types not
+    * constrained by the rule are fine; a rule constrained to a type blocks
+    * only that type. */
+  private def optionsOk(r: Rule, thirdParty: Boolean, pageDomain: String,
+                        reqTypes: Set[String]): Boolean = {
+    if (r.thirdParty.exists(_ != thirdParty)) return false
+    val typesOk = r.typeOpts.forall { case (t, expected) =>
+      reqTypes.contains(t) == expected
+    }
+    if (!typesOk) return false
+    if (r.domains.nonEmpty) {
+      val pos = r.domains.filter(!_._1).map(_._2)
+      val neg = r.domains.filter(_._1).map(_._2)
+      val posOk = pos.isEmpty || pos.exists(domainMatches(pageDomain, _))
+      val negOk = !neg.exists(domainMatches(pageDomain, _))
+      if (!(posOk && negOk)) return false
+    }
+    true
+  }
+
+  /** should_block: any blocking rule matches (pattern + options) and no
+    * exception rule does. */
+  def shouldBlock(rules: Seq[Rule], url: String, thirdParty: Boolean,
+                  pageDomain: String, reqTypes: Set[String]): Boolean = {
+    if (url == null) return false
+    def hits(r: Rule): Boolean =
+      r.regex.matcher(url).find() &&
+        optionsOk(r, thirdParty, pageDomain, reqTypes)
+    rules.exists(r => !r.exception && hits(r)) &&
+      !rules.exists(r => r.exception && hits(r))
+  }
+
+  /** The reference's per-node option wiring (node_labelling.py:37-91):
+    * third-party = node domain ≠ page eTLD+1; resource-type option set from
+    * the node's content_policy_type; subdocument for sub_frame. */
+  def nodeBlocked(rules: Seq[Rule], url: String, pageDomain: String,
+                  nodeDomain: String, resourceType: String): Boolean = {
+    if (pageDomain == null || nodeDomain == null) return false
+    val thirdParty = pageDomain != nodeDomain
+    val rt = Option(resourceType).getOrElse("")
+    val types: Set[String] = rt match {
+      case "script" => Set("script")
+      case "image" | "imageset" => Set("image")
+      case "stylesheet" => Set("stylesheet")
+      case "xmlhttprequest" => Set("xmlhttprequest")
+      case "sub_frame" => Set("subdocument")
+      case _ => Set.empty
+    }
+    shouldBlock(rules, url, thirdParty, pageDomain, types)
+  }
+
+  /** Label classifiable nodes against one or more compiled filter lists —
+    * label = disjunction across lists (node_labelling.py:113-117); null
+    * label where the reference emits "Error" (missing page/node domain). */
+  def labelNodes(nodes: DataFrame, lists: Seq[Seq[Rule]]): DataFrame = {
+    val blocked = udf((url: String, pageDom: String, nodeDom: String,
+                       rt: String) =>
+      if (pageDom == null || nodeDom == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(
+        lists.exists(rs => nodeBlocked(rs, url, pageDom, nodeDom, rt))))
+    FeatureExtraction.classifiable(nodes)
+      .select(col("visit_id"), col("top_level_url"), col("name"),
+        blocked(col("name"), col("top_level_domain"), col("domain"),
+          get_json_object(col("attr"), "$.content_policy_type"))
+          .as("label"))
+  }
+}

@@ -119,6 +119,20 @@ object ContentFeatures {
       .when(typ === "Request", 2).when(typ === "Script", 3)
       .when(typ === "Storage", 4).otherwise(-1)
 
+  /** F17: OpenWPM resource-type dictionary
+    * (/root/reference/code/classification/classify.py:18-60) — the 19
+    * content_policy_type strings → their enumeration index, so the RF sees
+    * the feature as numeric (the reference remaps in classify.py:394-397;
+    * round 1 left it a string and the classifier silently dropped it).
+    * Unknown/absent types → −1. */
+  private val cptTypes = Seq("beacon", "csp_report", "font", "image",
+    "imageset", "main_frame", "media", "object", "object_subrequest", "ping",
+    "script", "stylesheet", "sub_frame", "web_manifest", "websocket",
+    "xml_dtd", "xmlhttprequest", "xslt", "other")
+
+  def cptCode(cpt: Column): Column =
+    coalesce(element_at(typedLit(cptTypes.zipWithIndex.toMap), cpt), lit(-1))
+
   /** Per-node content features over the consolidated node table
     * (visit_id, name, type, attr, domain, top_level_domain). */
   def content(nodes: DataFrame): DataFrame = {
@@ -129,6 +143,8 @@ object ContentFeatures {
         typeCode(col("type")).as("node_type"),
         get_json_object(col("attr"), "$.content_policy_type")
           .as("content_policy_type"),
+        cptCode(get_json_object(col("attr"), "$.content_policy_type"))
+          .as("cpt_code"),
         length(col("name")).as("url_length"),
         when(col("domain").isNotNull && col("top_level_domain").isNotNull &&
           col("domain") === col("top_level_domain"), 1).otherwise(0)

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *  - eccentricity on the undirected copy, -1 sentinel for every node when
   *    the graph is disconnected (§2.11.7);
   *  - ancestors/descendants = directed reachability counts.
+  *
+  * The metric core is shared between the DIRECT graph ([[structure]]) and
+  * the indirect / composed graphs of the dataflow feature family
+  * ([[indirectMetrics]] — reference dataflow.py:110-245).
   */
 object GraphMetrics {
 
@@ -83,21 +87,36 @@ object GraphMetrics {
     when(typ =!= "Element" && typ =!= "Storage" && hit, 1).otherwise(0)
   }
 
-  /** Full structural feature table, one row per (visit_id, name) for every
-    * node that appears as an edge endpoint (networkx graph = edge list).
-    * `nodes` supplies (visit_id, name, type, attr). */
-  def structure(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val simple = edges.select(col("visit_id"), col("src"), col("dst"))
-      .where(col("src") =!= col("dst")).distinct().persist()
-    val verts = simple.select(col("visit_id"), col("src").as("name"))
-      .union(simple.select(col("visit_id"), col("dst").as("name")))
+  /** Intermediate bundle from [[coreMetrics]]: `metrics` is the assembled
+    * per-node table; the rest are the persisted building blocks callers may
+    * reuse (direct distances feed the ancestor flags and the diff-domain
+    * ancestor counts). `release()` drops the caches. */
+  private[features] final case class CoreMetrics(
+      simple: DataFrame, verts: DataFrame, degrees: DataFrame,
+      dist: DataFrame, nVerts: DataFrame, nEdges: DataFrame,
+      metrics: DataFrame, release: () => Unit)
+
+  /** Per-node metric core over one edge set (direct, indirect, or composed
+    * graph — they share ALL metric semantics): in/out/in+out degree,
+    * ancestors/descendants (directed reachability), closeness (incoming,
+    * WF-scaled), eccentricity (undirected, -1 if disconnected), average
+    * degree connectivity (nx in+out quirk: neighbors = successors only). */
+  private[features] def coreMetrics(edges: DataFrame): CoreMetrics = {
+    // nx DiGraph parity: self-loops (a script setting AND getting its own
+    // cookie — routine in the indirect graphs) count in degrees and ADC but
+    // never in shortest paths (d(n,n)=0 regardless).
+    val simpleAll = edges.select(col("visit_id"), col("src"), col("dst"))
+      .distinct().persist()
+    val simple = simpleAll.where(col("src") =!= col("dst")).persist()
+    val verts = simpleAll.select(col("visit_id"), col("src").as("name"))
+      .union(simpleAll.select(col("visit_id"), col("dst").as("name")))
       .distinct().persist()
     val nVerts = verts.groupBy("visit_id").agg(count(lit(1)).as("n"))
-    val nEdges = simple.groupBy("visit_id").agg(count(lit(1)).as("m"))
+    val nEdges = simpleAll.groupBy("visit_id").agg(count(lit(1)).as("m"))
 
-    val outDeg = simple.groupBy(col("visit_id"), col("src").as("name"))
+    val outDeg = simpleAll.groupBy(col("visit_id"), col("src").as("name"))
       .agg(count(lit(1)).as("out_degree"))
-    val inDeg = simple.groupBy(col("visit_id"), col("dst").as("name"))
+    val inDeg = simpleAll.groupBy(col("visit_id"), col("dst").as("name"))
       .agg(count(lit(1)).as("in_degree"))
     val degrees = verts
       .join(outDeg, Seq("visit_id", "name"), "left")
@@ -132,9 +151,13 @@ object GraphMetrics {
       .select(col("visit_id"), (col("pairs") === col("n") * col("n")).as("conn"))
     val eccRaw = udist.groupBy(col("visit_id"), col("s").as("name"))
       .agg(max(col("dist")).as("ecc_raw"))
-    val eccentricity = eccRaw.join(connected, "visit_id")
+    // left join over ALL verts: a node touching only self-loops has no
+    // distance rows but still has eccentricity 0 (or -1 if disconnected)
+    val eccentricity = verts.join(eccRaw, Seq("visit_id", "name"), "left")
+      .join(connected, "visit_id")
       .select(col("visit_id"), col("name"),
-        when(col("conn"), col("ecc_raw")).otherwise(-1L).as("eccentricity"))
+        when(col("conn"), coalesce(col("ecc_raw"), lit(0L))).otherwise(-1L)
+          .as("eccentricity"))
 
     // ---- average_degree_connectivity ----------------------------------
     // networkx parity quirk: with source=target="in+out" on a DiGraph,
@@ -143,7 +166,7 @@ object GraphMetrics {
     //   adc[k] = Σ_{i: k_i=k} Σ_{j∈succ(i)} k_j  /  Σ_{i: k_i=k} k_i
     val degOnly = degrees.select(col("visit_id"), col("name"),
       col("in_out_degree").as("k"))
-    val succSum = simple
+    val succSum = simpleAll // self-loop ⇒ the node is its own successor (nx)
       .join(degOnly.select(col("visit_id"), col("name").as("src"),
         col("k").as("ku")), Seq("visit_id", "src"))
       .join(degOnly.select(col("visit_id"), col("name").as("dst"),
@@ -156,6 +179,39 @@ object GraphMetrics {
       .agg((sum(col("s")).cast("double") / sum(col("k")))
         .as("average_degree_connectivity"))
 
+    val metrics = degrees
+      .join(descendants, Seq("visit_id", "name"), "left")
+      .join(closeness, Seq("visit_id", "name"), "left")
+      .join(eccentricity, Seq("visit_id", "name"), "left")
+      .join(adc.withColumnRenamed("visit_id", "av").withColumnRenamed("k", "ak"),
+        col("visit_id") === col("av") && col("in_out_degree") === col("ak"),
+        "left")
+      .drop("av", "ak")
+      .na.fill(0L, Seq("ancestors", "descendants"))
+      .na.fill(0.0, Seq("closeness_centrality"))
+
+    CoreMetrics(simple, verts, degrees, dist, nVerts, nEdges, metrics,
+      () => Seq(simpleAll, simple, verts, degrees, dist, udist)
+        .foreach(_.unpersist(false)))
+  }
+
+  /** Full structural feature table, one row per (visit_id, name) for every
+    * node that appears as an edge endpoint (networkx graph = edge list).
+    * `nodes` supplies (visit_id, name, type, attr). */
+  def structure(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val c = coreMetrics(edges)
+    val out = structureFrom(nodes, c)
+    c.release()
+    out
+  }
+
+  /** [[structure]] body over an already-built core — lets
+    * [[FeatureExtraction]] share one core (simple digraph + reachability
+    * pairs) with the diff-domain and script-content families instead of
+    * recomputing the all-pairs BFS. Does NOT release the core. */
+  private[features] def structureFrom(nodes: DataFrame,
+                                      c: CoreMetrics): DataFrame = {
+
     // ---- 1-hop / ancestor attribute flags -----------------------------
     val typed = nodes.select(col("visit_id"), col("name"), col("type"),
       col("attr")).dropDuplicates("visit_id", "name")
@@ -163,19 +219,19 @@ object GraphMetrics {
       (get_json_object(col("attr"), "$.eval") === "true") &&
       (get_json_object(col("attr"), "$.subtype") === "script")
 
-    val parentFlags = simple
+    val parentFlags = c.simple
       .join(typed.withColumnRenamed("name", "src"), Seq("visit_id", "src"), "left")
       .groupBy(col("visit_id"), col("dst").as("name"))
       .agg(
         max(when(col("type") === "Script", 1).otherwise(0)).as("is_parent_script"),
         sum(when(col("type") === "Script", 1).otherwise(0)).as("num_script_predecessors"),
         max(when(evalElem, 1).otherwise(0)).as("is_eval_or_function"))
-    val childFlags = simple
+    val childFlags = c.simple
       .join(typed.withColumnRenamed("name", "dst"), Seq("visit_id", "dst"), "left")
       .groupBy(col("visit_id"), col("src").as("name"))
       .agg(sum(when(col("type") === "Script", 1).otherwise(0)).as("num_script_successors"))
 
-    val ancFlags = dist.where(col("dist") > 0)
+    val ancFlags = c.dist.where(col("dist") > 0)
       .join(typed.withColumnRenamed("name", "s"), Seq("visit_id", "s"), "left")
       .groupBy(col("visit_id"), col("v").as("name"))
       .agg(
@@ -184,18 +240,11 @@ object GraphMetrics {
         max(hasAdKeyword(col("s"), col("type"))).as("ascendant_has_ad_keyword"))
 
     // ---- assemble ------------------------------------------------------
-    val out = degrees
-      .join(descendants, Seq("visit_id", "name"), "left")
-      .join(closeness, Seq("visit_id", "name"), "left")
-      .join(eccentricity, Seq("visit_id", "name"), "left")
-      .join(adc.withColumnRenamed("visit_id", "av").withColumnRenamed("k", "ak"),
-        col("visit_id") === col("av") && col("in_out_degree") === col("ak"),
-        "left")
-      .drop("av", "ak")
+    val out = c.metrics
       .join(parentFlags, Seq("visit_id", "name"), "left")
       .join(childFlags, Seq("visit_id", "name"), "left")
       .join(ancFlags, Seq("visit_id", "name"), "left")
-      .join(nVerts, "visit_id").join(nEdges, "visit_id")
+      .join(c.nVerts, "visit_id").join(c.nEdges, "visit_id")
       .withColumn("num_nodes", col("n"))
       .withColumn("num_edges", col("m"))
       .withColumn("nodes_div_by_edges",
@@ -203,13 +252,57 @@ object GraphMetrics {
       .withColumn("edges_div_by_nodes",
         col("m") / when(col("n") === 0, 1e-6).otherwise(col("n")))
       .drop("n", "m")
-      .na.fill(0L, Seq("ancestors", "descendants", "is_parent_script",
+      .na.fill(0L, Seq("is_parent_script",
         "num_script_predecessors", "is_eval_or_function",
         "num_script_successors", "is_ancestor_script",
         "descendant_of_eval_or_function", "ascendant_has_ad_keyword"))
-      .na.fill(0.0, Seq("closeness_centrality"))
 
-    Seq(simple, verts, degrees, dist, udist).foreach(_.unpersist(false))
+    out
+  }
+
+  /** Per-node metrics over an INDIRECT or COMPOSED edge set with the
+    * reference's out_degree := in_degree quirk (dataflow.py:158-159 and
+    * 223-224 call `G.in_degree` for both) and a column prefix
+    * (`indirect_` / `indirect_all_`). Only nodes present in the edge set
+    * get rows — the caller left-joins and fills the reference's −1 default
+    * for absent nodes (dataflow.py:124-130, 213-219). */
+  def indirectMetrics(edges: DataFrame, prefix: String): DataFrame = {
+    val c = coreMetrics(edges)
+    val out = renamed(c.metrics, col("visit_id"), prefix)
+    c.release()
+    out
+  }
+
+  private def renamed(m: DataFrame, visit: org.apache.spark.sql.Column,
+                      prefix: String): DataFrame =
+    m.select(
+      visit.as("visit_id"), col("name"),
+      col("in_degree").as(s"${prefix}in_degree"),
+      col("in_degree").as(s"${prefix}out_degree"), // reference quirk
+      col("ancestors").as(s"${prefix}ancestors"),
+      col("descendants").as(s"${prefix}descendants"),
+      col("closeness_centrality").as(s"${prefix}closeness_centrality"),
+      col("average_degree_connectivity")
+        .as(s"${prefix}average_degree_connectivity"),
+      col("eccentricity").as(s"${prefix}eccentricity"))
+
+  /** [[indirectMetrics]] for the indirect AND composed graphs in ONE shared
+    * superstep loop: the two edge sets are tagged into a composite visit
+    * key, so the iterative all-pairs expansion runs once over both — the
+    * graph id is plain data parallelism instead of a second sequential
+    * driver loop (2× fewer iterative jobs; at cluster scale, 2× fewer
+    * full shuffle barriers). Returns (indirect_*, indirect_all_*). */
+  def indirectAndComposedMetrics(ind: DataFrame,
+                                 composed: DataFrame): (DataFrame, DataFrame) = {
+    def pack(df: DataFrame, tag: String) = df.select(
+      struct(lit(tag).as("g"), col("visit_id").as("v")).as("visit_id"),
+      col("src"), col("dst"))
+    val c = coreMetrics(pack(ind, "i").unionByName(pack(composed, "c")))
+    def slice(tag: String, prefix: String) =
+      renamed(c.metrics.where(col("visit_id.g") === tag),
+        col("visit_id.v"), prefix)
+    val out = (slice("i", "indirect_"), slice("c", "indirect_all_"))
+    c.release()
     out
   }
 }

@@ -32,6 +32,12 @@ final case class HttpRedirect(
 
 final case class CallStack(visit_id: Long, request_id: Long, call_stack: String)
 
+/** One row of the content store: the reference keeps response bodies in
+  * LevelDB keyed by content_hash (/root/reference/code/run.py:41,
+  * features/structure.py:37-41); the engine models it as a table joined by
+  * hash (SURVEY.md §2.1 S3) — point-gets become one equi join. */
+final case class ContentBody(content_hash: String, body: String)
+
 /** One row of OpenWPM's `javascript` instrumentation table. */
 final case class JsCall(
     visit_id: Long, script_url: String, script_line: String,

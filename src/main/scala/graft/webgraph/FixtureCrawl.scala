@@ -81,6 +81,22 @@ object FixtureCrawl {
     Seq(CallStack(V, 20, cs)).toDS()
   }
 
+  /** Content store rows (LevelDB equivalent): hashJ is the lib.js Script
+    * body — contains `function` AND a canvas-fingerprinting keyword
+    * (toDataURL), so descendants of lib.js get all three
+    * ascendant_script_* features; the rest are non-script bodies. */
+  def contentBodies(spark: SparkSession): Dataset[ContentBody] = {
+    import spark.implicits._
+    Seq(
+      ContentBody("hashJ",
+        "function boot(){var c=document.createElement('canvas');" +
+          "return c.toDataURL();}"),
+      ContentBody("hashM", "<html><body>main</body></html>"),
+      ContentBody("hashP", "GIF89a-binary-ish"),
+      ContentBody("hashF", "<html>final hop</html>")
+    ).toDS()
+  }
+
   def jsCalls(spark: SparkSession): Dataset[JsCall] = {
     import spark.implicits._
     val csSet = "setC@http://tracker.example/core.js:77:1;" // frame "fn@url:line:col"

@@ -46,15 +46,19 @@ object HttpCookieGraph {
         col("respattr").contains("set-cookie") ||
         col("reqattr").contains("Cookie"))
 
+    // attr JSON built with full string escaping (graft.core.Json) — a
+    // quote/backslash in a cookie value must survive the round trip into
+    // get_json_object (IndirectEdges reads $.value back for set_url edges)
+    val J = graft.core.Json
     val getC = udf((vs: Seq[String]) =>
       vs.flatMap(CookieParse.parseCookieHeader).map { case (n, v) =>
-        (n, "get", s"""{"name":"$n","value":"$v"}""")
+        (n, "get", s"""{"name":${J.str(n)},"value":${J.str(v)}}""")
       })
     val setC = udf((vs: Seq[String]) =>
       vs.flatMap(CookieParse.parseSetCookie).map { c =>
         val opt = (k: String, o: Option[String]) =>
-          o.map(x => s""""$k":"$x"""").getOrElse(s""""$k":null""")
-        val json = s"""{"name":"${c.name}","value":"${c.value}",""" +
+          s""""$k":${o.map(J.str).getOrElse("null")}"""
+        val json = s"""{"name":${J.str(c.name)},"value":${J.str(c.value)},""" +
           s"""${opt("expires", c.expires)},${opt("path", c.path)},""" +
           s"""${opt("domain", c.domain)},${opt("max_age", c.max_age)},""" +
           s""""httponly":${c.httponly},"secure":${c.secure},""" +

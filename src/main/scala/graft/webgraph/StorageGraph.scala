@@ -91,11 +91,12 @@ object StorageGraph {
                 val kv = ci.split("=")
                 if (kv.length == 2) Some(kv(0) -> kv(1)) else None
               }
+              val J = graft.core.Json
               val fields = (("value" -> info.head) +: pairs)
-                .map { case (k, v) => s""""${k.trim}":"${v.trim}"""" }
+                .map { case (k, v) => s"${J.str(k.trim)}:${J.str(v.trim)}" }
               // deterministic key order: insertion order, as built
               fields.mkString("{", ",", "}")
-            } else s"""{"value":"$cookieVal"}"""
+            } else s"""{"value":${graft.core.Json.str(cookieVal)}}"""
           Seq((urls.last, cookieName, op, attr, ts))
         } else Seq.empty
       hops ++ terminal

@@ -132,14 +132,48 @@ class FeatureSpec extends AnyFunSuite {
       webgraph.FixtureCrawl.requests(spark), webgraph.FixtureCrawl.responses(spark),
       webgraph.FixtureCrawl.redirects(spark), webgraph.FixtureCrawl.callstacks(spark),
       webgraph.FixtureCrawl.jsCalls(spark))
-    val feats = FeatureExtraction.features(nodesU, edgesU)
+    val feats = FeatureExtraction.features(nodesU, edgesU,
+      Some(webgraph.FixtureCrawl.contentBodies(spark).toDF()))
     assert(feats.count() > 0)
-    assert(feats.where(col("in_degree").isNull).count() === 0 ||
-      feats.columns.contains("in_degree"))
+    // the full features.yaml:78-139 column families are present
+    val required = Seq("in_degree", "closeness_centrality", "eccentricity",
+      "num_get_storage", "max_depth_redirect",
+      "indirect_in_degree", "indirect_eccentricity",
+      "indirect_mean_in_weights", "num_set_get_src", "num_get_url_dst",
+      "indirect_all_in_degree", "indirect_all_eccentricity",
+      "max_size_name", "mean_size_val", "num_httponly", "num_diff_domain",
+      "max_rec_response_length", "mean_size_response",
+      "num_cs_edges_sent", "num_cs_edges_rec", "num_created_elements",
+      "num_diff_domain_predecessors", "num_diff_domain_descendants",
+      "ascendant_script_has_eval_or_function",
+      "ascendant_script_has_fp_keyword", "ascendant_script_length",
+      "cpt_code")
+    val missing = required.filterNot(feats.columns.contains)
+    assert(missing.isEmpty, s"missing feature columns: $missing")
     // no Element/Storage rows in the matrix
     val names = feats.select("name").collect().map(_.getString(0))
     assert(!names.exists(_.startsWith("Element_")))
     assert(!names.exists(_.contains("|$$|")))
+
+    val byName = feats.collect().map(r => r.getAs[String]("name") -> r).toMap
+    // pixel.gif descends from lib.js (Script, content hashJ: function +
+    // toDataURL) through the created Element — all three script-content
+    // features fire
+    val px = byName("http://cdn.example/pixel.gif")
+    assert(px.getAs[Int]("ascendant_script_has_eval_or_function") === 1)
+    assert(px.getAs[Int]("ascendant_script_has_fp_keyword") === 1)
+    assert(px.getAs[Int]("ascendant_script_length") ===
+      webgraph.FixtureCrawl.contentBodies(spark).collect()
+        .find(_.content_hash == "hashJ").get.body.length)
+    // a node absent from the indirect graph gets the reference's −1
+    val fin = byName("http://t.example/final")
+    assert(fin.getAs[Long]("indirect_in_degree") === -1L)
+    assert(fin.getAs[Double]("indirect_mean_in_weights") === -1.0)
+    assert(fin.getAs[Long]("indirect_all_in_degree") === -1L ||
+      fin.getAs[Long]("indirect_all_in_degree") >= 0L)
+    // indirect quirk: out_degree mirrors in_degree wherever present
+    assert(feats.where(col("indirect_in_degree") =!= col("indirect_out_degree"))
+      .count() === 0)
 
     // labelling runs over the NODE table (as in the reference) — call-stack
     // script urls that appear only as edge endpoints are not labeled rows

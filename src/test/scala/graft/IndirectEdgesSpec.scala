@@ -63,6 +63,32 @@ class IndirectEdgesSpec extends AnyFunSuite {
     assert(gu === Set(("http://page.x/", "http://b.x/p?uid=abcd1234")))
   }
 
+  test("counts are distinct-partner ROW counts; weights are attr stats") {
+    // P sets k1,k2; Q gets both; R gets k1 → set_get P→Q (attr 2), P→R (1)
+    val rows = Seq(
+      (1L, "P", "k1", "set", null, "N/A", "t1"),
+      (1L, "P", "k2", "set", null, "N/A", "t2"),
+      (1L, "Q", "k1", "get", null, "N/A", "t3"),
+      (1L, "Q", "k2", "get", null, "N/A", "t4"),
+      (1L, "R", "k1", "get", null, "N/A", "t5")
+    ).toDF("visit_id", "src", "dst", "action", "attr", "reqattr", "time_stamp")
+    val ind = IndirectEdges.build(rows)
+    val c = IndirectEdges.counts(ind).collect()
+      .map(r => r.getAs[String]("name") -> r).toMap
+    // reference len(rows), NOT sum(attr): P has 2 set_get rows (to Q and R)
+    assert(c("P").getAs[Long]("num_set_get_src") === 2L)
+    assert(c("Q").getAs[Long]("num_set_get_dst") === 1L)
+    assert(c("R").getAs[Long]("num_set_get_dst") === 1L)
+    assert(c("P").getAs[Long]("num_set_mod_src") === 0L)
+    val w = IndirectEdges.weights(ind).collect()
+      .map(r => r.getAs[String]("name") -> r).toMap
+    assert(w("P").getAs[Double]("indirect_mean_out_weights") === 1.5)
+    assert(w("P").getAs[Long]("indirect_min_out_weights") === 1L)
+    assert(w("P").getAs[Long]("indirect_max_out_weights") === 2L)
+    assert(w("Q").getAs[Long]("indirect_max_in_weights") === 2L)
+    assert(w("R").getAs[Long]("indirect_max_in_weights") === 1L)
+  }
+
   test("predicates: split-partial and length guard") {
     assert(IndirectEdges.cookieValueInUrl("ab.cdefgh", "http://x/?q=cdefgh"))
     assert(!IndirectEdges.cookieValueInUrl("ab", "http://x/?q=ab")) // len <= 3
