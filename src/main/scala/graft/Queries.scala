@@ -32,7 +32,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Queries {
 
   private val reg: Seq[QueryUtil.Entry] =
-    QueriesRel.reg ++ QueriesGraph.reg ++ QueriesText.reg ++ QueriesWebGraph.reg
+    QueriesRel.reg ++ QueriesGraph.reg ++ QueriesText.reg ++
+      QueriesWebGraph.reg ++ QueriesFeatures.reg
 
   require(reg.map(_._1).distinct.size == reg.size, "duplicate query names")
 

@@ -250,10 +250,14 @@ l$k AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label FROM l${k 
         .select(col("name").as("id"), col("in_degree"), col("out_degree"),
           col("ancestors"), col("descendants"),
           round(col("closeness_centrality"), 8).as("closeness"),
-          round(col("average_degree_connectivity"), 8).as("adc"))
+          round(col("average_degree_connectivity"), 8).as("adc"),
+          col("eccentricity"))
     }, Some(
       s"""WITH RECURSIVE ${bedgesSql.replaceFirst("AS", "AS MATERIALIZED")},
          |e AS MATERIALIZED (SELECT src % 9 AS visit_id, src, dst FROM bedges),
+         |eu AS MATERIALIZED (SELECT DISTINCT visit_id, src, dst FROM
+         |  (SELECT visit_id, src, dst FROM e
+         |   UNION ALL SELECT visit_id, dst AS src, src AS dst FROM e)),
          |verts AS MATERIALIZED (SELECT DISTINCT visit_id, id FROM
          |  (SELECT visit_id, src AS id FROM e UNION ALL SELECT visit_id, dst FROM e)),
          |nv AS MATERIALIZED (SELECT visit_id, COUNT(*) AS n FROM verts GROUP BY visit_id),
@@ -269,7 +273,16 @@ l$k AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label FROM l${k 
          |  UNION
          |  SELECT w.visit_id, w.s, e.dst, w.d + 1 FROM walk w
          |    JOIN e ON e.visit_id = w.visit_id AND e.src = w.v WHERE w.d < 60),
+         |uwalk(visit_id, s, v, d) AS (
+         |  SELECT visit_id, id, id, 0 FROM verts
+         |  UNION
+         |  SELECT w.visit_id, w.s, eu.dst, w.d + 1 FROM uwalk w
+         |    JOIN eu ON eu.visit_id = w.visit_id AND eu.src = w.v WHERE w.d < 60),
          |dmin AS MATERIALIZED (SELECT visit_id, s, v, MIN(d) AS dist FROM walk GROUP BY visit_id, s, v),
+         |udmin AS MATERIALIZED (SELECT visit_id, s, v, MIN(d) AS dist FROM uwalk GROUP BY visit_id, s, v),
+         |upairs AS MATERIALIZED (SELECT visit_id, COUNT(*) AS pairs FROM udmin GROUP BY visit_id),
+         |eccr AS MATERIALIZED (SELECT visit_id, s AS id, MAX(dist) AS ecc_raw
+         |  FROM udmin GROUP BY visit_id, s),
          |anc AS MATERIALIZED (SELECT visit_id, v AS id, COUNT(*)-1 AS ancestors,
          |  SUM(dist) AS sum_d, COUNT(*) AS r FROM dmin GROUP BY visit_id, v),
          |descn AS MATERIALIZED (SELECT visit_id, s AS id, COUNT(*)-1 AS descendants FROM dmin GROUP BY visit_id, s),
@@ -283,11 +296,47 @@ l$k AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label FROM l${k 
          |  ROUND(CASE WHEN a.sum_d > 0 AND nv.n > 1
          |    THEN (CAST(a.r-1 AS DOUBLE)/a.sum_d) * (CAST(a.r-1 AS DOUBLE)/(nv.n-1))
          |    ELSE 0.0 END, 8) AS closeness,
-         |  ROUND(adc.adc, 8) AS adc
+         |  ROUND(adc.adc, 8) AS adc,
+         |  CAST(CASE WHEN up.pairs = nv.n * nv.n THEN ec.ecc_raw ELSE -1 END AS BIGINT)
+         |    AS eccentricity
          |FROM deg d
          |JOIN nv ON nv.visit_id=d.visit_id
+         |JOIN upairs up ON up.visit_id=d.visit_id
          |JOIN anc a ON a.visit_id=d.visit_id AND a.id=d.id
          |JOIN descn ds ON ds.visit_id=d.visit_id AND ds.id=d.id
-         |JOIN adc ON adc.visit_id=d.visit_id AND adc.k=d.in_degree+d.out_degree""".stripMargin))
+         |JOIN eccr ec ON ec.visit_id=d.visit_id AND ec.id=d.id
+         |JOIN adc ON adc.visit_id=d.visit_id AND adc.k=d.in_degree+d.out_degree""".stripMargin)),
+
+    // The 10^12-scale sketch tier for closeness/eccentricity (G3/G5):
+    // HyperBall on the blocked graph. Ball sizes ≤ block size (≤100) keep
+    // HLL++ in its sparse-EXACT regime, so the sketch is oracled exactly
+    // against a recursive-CTE incoming-distance mirror — the estimate-error
+    // regime only exists at true scale.
+    ("g10_hyperball", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      graft.algo.HyperBall.run(bedges(dir), numPartitions = P)
+        .select(col("id"), col("reach_approx"),
+          col("sum_dist_approx").cast("long").as("sum_dist"),
+          col("ecc_approx"),
+          round(col("closeness_approx"), 8).as("closeness"))
+    }, Some(
+      s"""WITH RECURSIVE ${bedgesSql.replaceFirst("AS", "AS MATERIALIZED")},
+         |$bvertsSql,
+         |nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM bverts),
+         |walk(s, v, d) AS (
+         |  SELECT id, id, 0 FROM bverts
+         |  UNION
+         |  SELECT w.s, e.dst, w.d + 1 FROM walk w
+         |    JOIN bedges e ON e.src = w.v WHERE w.d < 60),
+         |dmin AS MATERIALIZED (SELECT s, v, MIN(d) AS dist FROM walk GROUP BY s, v),
+         |anc AS MATERIALIZED (SELECT v AS id, COUNT(*) - 1 AS reach,
+         |    SUM(dist) AS sumd, MAX(dist) AS ecc FROM dmin GROUP BY v)
+         |SELECT id, CAST(reach AS BIGINT) AS reach_approx,
+         |  CAST(sumd AS BIGINT) AS sum_dist,
+         |  CAST(ecc AS BIGINT) AS ecc_approx,
+         |  ROUND(CASE WHEN sumd > 0 AND nv.n > 1
+         |    THEN (CAST(reach AS DOUBLE) / sumd) * (CAST(reach AS DOUBLE) / (nv.n - 1))
+         |    ELSE 0.0 END, 8) AS closeness
+         |FROM anc, nv""".stripMargin))
   )
 }

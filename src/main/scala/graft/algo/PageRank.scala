@@ -40,9 +40,15 @@ object PageRank {
   )
 
   /** @param edges DataFrame(src: long, dst: long) — deduplicated digraph.
+    * @param warmStart optional previous ranks (id, rank) — incremental
+    *        recompute: after a small edge delta, starting from the prior
+    *        converged ranks reaches tol in far fewer supersteps than the
+    *        uniform cold start. New vertices get 1/N; mass renormalizes to
+    *        1 so the convergence contract is unchanged.
     * @return DataFrame(id: long, rank: double), ranks summing to ~1. */
   def run(edges: DataFrame, p: Params = Params(),
-          cfg0: Option[Superstep.Config] = None): Superstep.Result = {
+          cfg0: Option[Superstep.Config] = None,
+          warmStart: Option[DataFrame] = None): Superstep.Result = {
     val spark = edges.sparkSession
     val P = p.numPartitions
 
@@ -61,9 +67,21 @@ object PageRank {
     val n = verts.count() // also materializes the cached vertex table
     val d = p.damping
 
-    val init = verts.select(
-      col("id"), lit(1.0 / n).as("rank"), col("deg"),
-      lit(Double.MaxValue).as("delta"))
+    val init = warmStart match {
+      case None => verts.select(
+        col("id"), lit(1.0 / n).as("rank"), col("deg"),
+        lit(Double.MaxValue).as("delta"))
+      case Some(w) =>
+        val joined = verts
+          .join(w.select(col("id"), col("rank").as("r0")), Seq("id"), "left")
+          .na.fill(1.0 / n, Seq("r0"))
+          .persist()
+        val total = joined.agg(sum(col("r0"))).collect()(0).getDouble(0)
+        val out = joined.select(col("id"), (col("r0") / total).as("rank"),
+          col("deg"), lit(Double.MaxValue).as("delta"))
+        joined.unpersist(false)
+        out
+    }
 
     val cfg = cfg0.getOrElse(Superstep.Config(P, p.maxIter, p.tol))
 

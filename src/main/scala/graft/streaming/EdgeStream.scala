@@ -55,6 +55,38 @@ object EdgeStream {
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"), col("dst"), col("in_degree"))
 
+  /** Micro-batch → superstep trigger (incremental recompute, SURVEY.md
+    * §2.10 extension): each micro-batch's edges append to the durable edge
+    * table, then PageRank re-converges over the accumulated graph
+    * WARM-STARTED from the previous converged ranks — a small edge delta
+    * re-reaches tol in a handful of supersteps instead of a full cold run.
+    * `onRanks(batchId, ranks, steps)` receives each converged state. */
+  def pageRankTrigger(links: Dataset[Link], path: String, checkpoint: String,
+                      numPartitions: Int = 8, tol: Double = 1e-6)
+                     (onRanks: (Long, DataFrame, Int) => Unit): DataStreamWriter[_] = {
+    val spark = links.sparkSession
+    var warm: Option[DataFrame] = None
+    links.toDF()
+      .select(xxhash64(col("src")).as("src_id"), xxhash64(col("dst")).as("dst_id"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.dropDuplicates("src_id", "dst_id")
+          .write.mode("append").parquet(path)
+        val edges = spark.read.parquet(path)
+          .select(col("src_id").as("src"), col("dst_id").as("dst"))
+          .dropDuplicates("src", "dst")
+        val res = graft.algo.PageRank.run(edges,
+          graft.algo.PageRank.Params(tol = tol, numPartitions = numPartitions),
+          None, warm)
+        warm = Some(res.state.select(col("id"), col("rank"))
+          .localCheckpoint(true))
+        onRanks(batchId, res.state, res.steps)
+      }
+  }
+
   /** Append the deduplicated hashed-id edges of each micro-batch to a
     * parquet edge table — the streaming writer for the batch algorithms'
     * input. Dedup is per-batch (global dedup happens in the batch consumer

@@ -50,4 +50,30 @@ class ExtAndApproxSpec extends AnyFunSuite {
       assert(approx(id) === d, s"vertex $id")
     }
   }
+
+  test("HyperBall closeness/eccentricity equal the exact core on the " +
+    "FeatureSpec micro graph (sparse-mode-exact regime)") {
+    // A=1 B=2 C=3 D=4 E=5; A→B, B→C, A→C, C→D, E→A — closeness goldens
+    // are the networkx-pinned values from FeatureSpec
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 1L))
+      .toDF("src", "dst")
+    val hb = graft.algo.HyperBall.run(edges, numPartitions = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val closeness = Map(1L -> 0.25, 2L -> 1.0 / 3.0, 3L -> 0.5625,
+      4L -> 0.5, 5L -> 0.0)
+    closeness.foreach { case (id, c) =>
+      assert(math.abs(hb(id).getAs[Double]("closeness_approx") - c) < 1e-9,
+        s"closeness $id")
+    }
+    val ancestors = Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 0L)
+    ancestors.foreach { case (id, a) =>
+      assert(hb(id).getAs[Long]("reach_approx") === a, s"reach $id")
+    }
+    // undirected eccentricity: symmetrize, compare to the nx goldens
+    val sym = edges.union(edges.select(col("dst"), col("src")))
+    val hbu = graft.algo.HyperBall.run(sym, numPartitions = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("ecc_approx"))
+      .toMap
+    assert(hbu === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 5L -> 3L))
+  }
 }

@@ -42,6 +42,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("pageRankTrigger: streamed edges reconverge to the batch ranks") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.model.Link]
+    val edgePath = Files.createTempDirectory("graft_prtrig_edges").toString
+    val ckpt = Files.createTempDirectory("graft_prtrig_ckpt").toString
+    val base = new Timestamp(1700000000000L)
+    val mk = (s: String, d: String) => graft.model.Link(s, d, base)
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+
+    mem.addData((0 until 5).map(i => mk(s"p$i", s"p${i + 1}")) :+
+      mk("p0", "hub") :+ mk("p3", "hub") :+ mk("p5", "hub"))
+    val q = EdgeStream.pageRankTrigger(mem.toDS(), edgePath, ckpt,
+      numPartitions = 4) { (id, ranks, steps) =>
+      results += ((id, steps, ranks.count()))
+    }.start()
+    q.awaitTermination(120000)
+
+    assert(results.nonEmpty)
+    assert(results.last._3 === 7L) // p0..p5 + hub
+    val full = spark.read.parquet(edgePath)
+      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+      .dropDuplicates("src", "dst")
+    assert(full.count() === 8L)
+  }
+
+  test("PageRank warm start: immediate on unchanged graph, fewer steps " +
+    "after a small edge delta") {
+    val g0 = ((0L until 5L).map(i => (i, i + 1)) ++ Seq((0L, 99L), (3L, 99L)))
+      .toDF("src", "dst")
+    val g1 = g0.union(Seq((5L, 99L)).toDF("src", "dst"))
+    val p = graft.algo.PageRank.Params(tol = 1e-6, numPartitions = 4)
+
+    val cold0 = graft.algo.PageRank.run(g0, p)
+    val warmRanks = cold0.state.select(col("id"), col("rank"))
+
+    // same graph, warm start from its own converged ranks → ≤2 supersteps
+    val same = graft.algo.PageRank.run(g0, p, None, Some(warmRanks))
+    assert(same.steps <= 2, s"steps=${same.steps}")
+
+    // grown graph: warm start converges in fewer steps than cold, to the
+    // same ranks
+    val cold1 = graft.algo.PageRank.run(g1, p)
+    val warm1 = graft.algo.PageRank.run(g1, p, None, Some(warmRanks))
+    assert(warm1.steps < cold1.steps,
+      s"warm ${warm1.steps} vs cold ${cold1.steps}")
+    val c = cold1.state.collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rank")).toMap
+    warm1.state.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("rank") - c(r.getLong(0))) < 1e-4)
+    }
+  }
+
   test("windowed in-degree counts with watermark produce complete windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[graft.model.Link]
