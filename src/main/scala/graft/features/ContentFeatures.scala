@@ -80,37 +80,37 @@ object ContentFeatures {
     (raw, chr)
   }
 
-  private case class UrlFeats(
-      is_valid_qs: Int, num_url_queries: Int, num_url_params: Int,
-      num_id_in_query_field: Int, num_id_in_param_field: Int,
-      base_domain_in_query: Int, semicolon_in_query: Int,
-      semicolon_in_params: Int, screen_size_present: Int,
-      ad_size_present: Int, ad_size_in_qs_present: Int,
-      keyword_raw_present: Int, keyword_char_present: Int)
+  private val urlFeatNames = Seq("is_valid_qs", "num_url_queries",
+    "num_url_params", "num_id_in_query_field", "num_id_in_param_field",
+    "base_domain_in_query", "semicolon_in_query", "semicolon_in_params",
+    "screen_size_present", "ad_size_present", "ad_size_in_qs_present",
+    "keyword_raw_present", "keyword_char_present")
 
   private val adSize = "\\d{2,4}[xX]\\d{2,4}".r
 
+  // returns a fixed Array[Int] (position = urlFeatNames index): a
+  // case-class-returning UDF trips Spark's struct-serializer codegen into
+  // the interpreter fallback; a primitive array stays codegen'd
   private val urlFeatsUdf = udf { (url: String, domain: String) =>
     val (query, params) = urlQueryParams(url)
     val qk = qsKeys(query); val pk = qsKeys(params)
     val (kraw, kchar) = keywordFlags(url)
     val dom = if (domain == null) "" else domain
-    UrlFeats(
-      is_valid_qs = 1,
-      num_url_queries = qk.size,
-      num_url_params = pk.size,
-      num_id_in_query_field = qk.count(_.contains("id")),
-      num_id_in_param_field = pk.count(_.contains("id")),
-      base_domain_in_query = if (dom.nonEmpty && query.contains(dom)) 1 else 0,
-      semicolon_in_query = if (query.contains(";")) 1 else 0,
-      semicolon_in_params = if (params.contains(";")) 1 else 0,
-      screen_size_present =
-        if (screenRes.exists(k => query.toLowerCase.contains(k) ||
-          params.toLowerCase.contains(k))) 1 else 0,
-      ad_size_present = if (url != null && adSize.findFirstIn(url).isDefined) 1 else 0,
-      ad_size_in_qs_present = if (adSize.findFirstIn(query).isDefined) 1 else 0,
-      keyword_raw_present = kraw,
-      keyword_char_present = kchar)
+    Array(
+      1, // is_valid_qs
+      qk.size,
+      pk.size,
+      qk.count(_.contains("id")),
+      pk.count(_.contains("id")),
+      if (dom.nonEmpty && query.contains(dom)) 1 else 0,
+      if (query.contains(";")) 1 else 0,
+      if (params.contains(";")) 1 else 0,
+      if (screenRes.exists(k => query.toLowerCase.contains(k) ||
+        params.toLowerCase.contains(k))) 1 else 0,
+      if (url != null && adSize.findFirstIn(url).isDefined) 1 else 0,
+      if (adSize.findFirstIn(query).isDefined) 1 else 0,
+      kraw,
+      kchar)
   }
 
   /** F16: fixed label encoding (sklearn LabelEncoder = alphabetical). */
@@ -136,23 +136,26 @@ object ContentFeatures {
   /** Per-node content features over the consolidated node table
     * (visit_id, name, type, attr, domain, top_level_domain). */
   def content(nodes: DataFrame): DataFrame = {
+    val head = Seq(
+      col("visit_id"), col("name"),
+      typeCode(col("type")).as("node_type"),
+      get_json_object(col("attr"), "$.content_policy_type")
+        .as("content_policy_type"),
+      cptCode(get_json_object(col("attr"), "$.content_policy_type"))
+        .as("cpt_code"),
+      length(col("name")).as("url_length"),
+      when(col("domain").isNotNull && col("top_level_domain").isNotNull &&
+        col("domain") === col("top_level_domain"), 1).otherwise(0)
+        .as("is_subdomain"),
+      when(col("domain").isNotNull && col("top_level_domain").isNotNull &&
+        length(col("domain")) > 0 &&
+        col("domain") =!= col("top_level_domain"), 1).otherwise(0)
+        .as("is_third_party"))
+    val urlCols = urlFeatNames.zipWithIndex.map { case (nm, i) =>
+      element_at(col("uf"), i + 1).as(nm)
+    }
     nodes
       .withColumn("uf", urlFeatsUdf(col("name"), col("domain")))
-      .select(
-        col("visit_id"), col("name"),
-        typeCode(col("type")).as("node_type"),
-        get_json_object(col("attr"), "$.content_policy_type")
-          .as("content_policy_type"),
-        cptCode(get_json_object(col("attr"), "$.content_policy_type"))
-          .as("cpt_code"),
-        length(col("name")).as("url_length"),
-        when(col("domain").isNotNull && col("top_level_domain").isNotNull &&
-          col("domain") === col("top_level_domain"), 1).otherwise(0)
-          .as("is_subdomain"),
-        when(col("domain").isNotNull && col("top_level_domain").isNotNull &&
-          length(col("domain")) > 0 &&
-          col("domain") =!= col("top_level_domain"), 1).otherwise(0)
-          .as("is_third_party"),
-        col("uf.*"))
+      .select(head ++ urlCols: _*)
   }
 }
