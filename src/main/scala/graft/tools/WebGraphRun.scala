@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.classification.Classify
+import graft.features.{Adblock, FeatureExtraction}
+import graft.sources.GraphCsv
+import graft.webgraph._
+
+/** The reference pipeline's E1→E3 lifecycle (/root/reference/code/run.py →
+  * classify.py, SURVEY.md §3) as ONE spark-submit entry point — what a user
+  * of the reference would run instead of `python code/run.py`:
+  *
+  *   spark-submit --class graft.tools.WebGraphRun <jar> \
+  *     [--crawl <dir>]        parquet tables http_requests / http_responses /
+  *                            http_redirects / callstacks / javascript
+  *                            (omitted → the deterministic FixtureCrawl)
+  *     [--content <parquet>]  (content_hash, body) script store (S3)
+  *     [--filterlist <file>]  Adblock-Plus rules, one per line (labelling)
+  *     --out <dir>            [--partitions N] [--csv] [--classify]
+  *
+  * Stages written under --out:
+  *   graph_nodes/ graph_edges/   the unified property graph (parquet IR —
+  *                               the reference's graph.csv handoff);
+  *                               `--csv` additionally exports the 23-column
+  *                               graph.csv interchange file (S4/S5)
+  *   features/                   the full per-node feature matrix
+  *   labels/                     filter-list labels (when --filterlist)
+  *   metrics.json                fold accuracy/precision/recall
+  *                               (when --classify, needs labels)
+  *
+  * The per-visit loop of the reference is just the visit_id grouping column
+  * here — every stage is one distributed dataflow over all visits at once.
+  */
+object WebGraphRun {
+
+  private def arg(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+  private def flag(args: Array[String], name: String): Boolean =
+    args.contains(s"--$name")
+
+  def main(args: Array[String]): Unit = {
+    val out = arg(args, "out").getOrElse(sys.error("--out <dir> is required"))
+    val partitions = arg(args, "partitions").map(_.toInt).getOrElse(32)
+
+    val builder = SparkSession.builder()
+      .appName("graft-webgraph")
+      .config("spark.sql.shuffle.partitions", partitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(arg(args, "master").getOrElse("local[*]")))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- sources (S1/S2 shape: explicit-schema parquet scans) ----------
+    val (requests, responses, redirects, callstacks, js) =
+      arg(args, "crawl") match {
+        case Some(dir) => (
+          spark.read.parquet(s"$dir/http_requests").as[HttpRequest],
+          spark.read.parquet(s"$dir/http_responses").as[HttpResponse],
+          spark.read.parquet(s"$dir/http_redirects").as[HttpRedirect],
+          spark.read.parquet(s"$dir/callstacks").as[CallStack],
+          spark.read.parquet(s"$dir/javascript").as[JsCall])
+        case None => (
+          FixtureCrawl.requests(spark), FixtureCrawl.responses(spark),
+          FixtureCrawl.redirects(spark), FixtureCrawl.callstacks(spark),
+          FixtureCrawl.jsCalls(spark))
+      }
+    val content: Option[DataFrame] = arg(args, "content")
+      .map(spark.read.parquet(_))
+      .orElse(if (arg(args, "crawl").isEmpty)
+        Some(FixtureCrawl.contentBodies(spark).toDF()) else None)
+
+    // ---- E1: construction → durable graph IR ---------------------------
+    val (nodes, edges) = GraphAssembly.unifiedGraph(
+      requests, responses, redirects, callstacks, js)
+    nodes.write.mode(SaveMode.Overwrite).parquet(s"$out/graph_nodes")
+    edges.write.mode(SaveMode.Overwrite).parquet(s"$out/graph_edges")
+    val n = spark.read.parquet(s"$out/graph_nodes")
+    val e = spark.read.parquet(s"$out/graph_edges")
+
+    if (flag(args, "csv")) {
+      // 23-column union view (nodes + edges, graph_attr discriminator)
+      val cols = GraphCsv.schema.fieldNames
+      def pad(df: DataFrame) = cols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast("string")))
+      GraphCsv.write(
+        pad(n).select(cols.map(col): _*)
+          .unionByName(pad(e).select(cols.map(col): _*)),
+        s"$out/graph_csv")
+    }
+
+    // ---- E1 tail: feature matrix ---------------------------------------
+    val feats = FeatureExtraction.features(n, e, content)
+    feats.write.mode(SaveMode.Overwrite).parquet(s"$out/features")
+
+    // ---- labelling (adblock-rule matching when a list is supplied) -----
+    val labels = arg(args, "filterlist").map { path =>
+      val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq
+      val rules = Adblock.parseList(lines)
+      val l = Adblock.labelNodes(n, Seq(rules))
+      l.write.mode(SaveMode.Overwrite).parquet(s"$out/labels")
+      spark.read.parquet(s"$out/labels")
+    }
+
+    // ---- E3: classification --------------------------------------------
+    if (flag(args, "classify")) labels match {
+      case Some(l) =>
+        val joined = Classify.join(
+          spark.read.parquet(s"$out/features"),
+          l.where(col("label").isNotNull)) // "Error" rows drop, as reference
+        val (folds, model, featCols) = Classify.crossValidate(joined,
+          k = arg(args, "folds").map(_.toInt).getOrElse(10))
+        // every fold needs non-empty train AND test visits — a crawl with
+        // too few visits yields no usable folds (and no model)
+        val imp =
+          if (model == null) "[]"
+          else Classify.importances(model, featCols).take(10)
+            .map { case (f, w) => f"""{"feature":"$f","weight":$w%.6f}""" }
+            .mkString("[", ",", "]")
+        val foldJson = folds.map(f =>
+          f"""{"fold":${f.fold},"accuracy":${f.accuracy}%.4f,""" +
+            f""""precision":${f.precision}%.4f,"recall":${f.recall}%.4f,""" +
+            f""""rows":${f.testRows}}""").mkString("[", ",", "]")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/metrics.json"),
+          s"""{"folds":$foldJson,"top_importances":$imp}""")
+        if (folds.isEmpty) System.err.println(
+          "classification: no usable folds (need >= 2 visits with labels)")
+      case None =>
+        System.err.println("--classify requires --filterlist (labels)")
+    }
+
+    println(s"webgraph pipeline complete -> $out " +
+      s"(nodes=${n.count()}, edges=${e.count()}, features=${feats.columns.length} cols)")
+    spark.stop()
+  }
+}
