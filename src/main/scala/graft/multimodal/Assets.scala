@@ -12,18 +12,19 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, partition-parallel batch
   * processing via `mapPartitions` on a typed Dataset (the JVM analogue of
   * `mapInPandas` batches: one decoder instantiation per partition, rows
-  * streamed through it), deterministic outputs. The codec itself is a
-  * clearly-marked STUB (no image/audio libraries ship in this sandbox):
-  * payloads carry a 16-byte GRFT header (magic, kind, width, height,
-  * channels/frames) followed by deterministic content bytes, and "decoding"
-  * parses that header. Swapping in a real codec changes only
-  * [[StubCodec.decode]] — every operator signature and the physical plan
-  * shape stay fixed.
+  * streamed through it), deterministic outputs. Decoding is REAL for the
+  * standard formats that are pure header/byte parsing — PPM (P6), BMP
+  * (uncompressed), WAV (RIFF/PCM) — see [[Codecs]]; only compressed VIDEO
+  * remains behind the clearly-marked GRFT stub container ([[StubCodec]]:
+  * a 16-byte header + deterministic content bytes), since real video
+  * codecs need libraries this sandbox doesn't ship. Swapping one in
+  * changes only the [[Codecs.decode]] dispatch — every operator signature
+  * and the physical plan shape stay fixed.
   */
 final case class Asset(asset_id: Long, kind: String, bytes: Array[Byte])
-final case class AssetMeta(asset_id: Long, kind: String, width: Int,
-                           height: Int, channels: Int, frames: Int,
-                           byte_len: Int)
+final case class AssetMeta(asset_id: Long, kind: String, format: String,
+                           width: Int, height: Int, channels: Int,
+                           frames: Int, byte_len: Int)
 final case class AssetFeature(asset_id: Long, kind: String,
                               histogram: Array[Double])
 
@@ -76,50 +77,68 @@ object Assets {
   import graft.core.Hashing.{bounded, h}
 
   /** Deterministic synthetic asset table (seeded, pure function of idx —
-    * no Random/wall-clock; byte-identical across runs and parallelism). */
+    * no Random/wall-clock; byte-identical across runs and parallelism).
+    * Images alternate REAL containers (PPM / BMP), audio is REAL WAV
+    * (PCM16); video uses the GRFT stub container. */
   def generate(spark: SparkSession, n: Int, seed: Long = 42L,
                partitions: Int = 8): Dataset[Asset] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { idx =>
-      val kind = bounded(h(seed, idx.toInt, 0), 3) match {
-        case 0 => "image"; case 1 => "audio"; case 2 => "video"
+      val i = idx.toInt
+      bounded(h(seed, i, 0), 3) match {
+        case 0 => // image: PPM for even hashes, BMP (row-padded) otherwise
+          val w = 4 + bounded(h(seed, i, 1), 8) * 4
+          val ht = 3 + bounded(h(seed, i, 2), 10)
+          if (bounded(h(seed, i, 8), 2) == 0) {
+            val rgb = Array.tabulate[Byte](w * ht * 3)(p =>
+              (h(seed, i, 7, p) & 0xff).toByte)
+            Asset(idx, "image", Codecs.encodePpm(w, ht, rgb))
+          } else {
+            val rowBytes = (w * 3 + 3) / 4 * 4
+            val bgr = Array.tabulate[Byte](rowBytes * ht)(p =>
+              (h(seed, i, 7, p) & 0xff).toByte)
+            Asset(idx, "image", Codecs.encodeBmp(w, ht, bgr))
+          }
+        case 1 => // audio: PCM16 WAV
+          val ch = 1 + bounded(h(seed, i, 3), 2)
+          val frames = 100 + bounded(h(seed, i, 4), 900)
+          val samples = Array.tabulate[Short](frames * ch)(p =>
+            (h(seed, i, 7, p) & 0xffff).toShort)
+          Asset(idx, "audio", Codecs.encodeWav(ch, 8000, samples))
+        case 2 => // video: GRFT stub container (real codecs need libs)
+          val fr = 8 + bounded(h(seed, i, 5), 24)
+          val bodyLen = 64 + bounded(h(seed, i, 6), 192)
+          val body = Array.tabulate[Byte](bodyLen)(p =>
+            (h(seed, i, 7, p) & 0xff).toByte)
+          Asset(idx, "video", StubCodec.encode("video", 64, 48, 3, fr, body))
       }
-      val (w, ht, ch, fr) = kind match {
-        case "image" => (32 + bounded(h(seed, idx.toInt, 1), 32) * 16,
-          32 + bounded(h(seed, idx.toInt, 2), 32) * 16, 3, 1)
-        case "audio" => (0, 0, 1 + bounded(h(seed, idx.toInt, 3), 2),
-          100 + bounded(h(seed, idx.toInt, 4), 900))
-        case "video" => (64, 48, 3, 8 + bounded(h(seed, idx.toInt, 5), 24))
-      }
-      val bodyLen = 64 + bounded(h(seed, idx.toInt, 6), 192)
-      val body = Array.tabulate[Byte](bodyLen)(i =>
-        (h(seed, idx.toInt, 7, i) & 0xff).toByte)
-      Asset(idx, kind, StubCodec.encode(kind, w, ht, ch, fr, body))
     }
   }
 
   /** Decode metadata for every asset — partition-parallel, one pass,
-    * malformed rows dropped (never task failure). */
+    * malformed rows dropped (never task failure). Real parsing for
+    * PPM/BMP/WAV; GRFT header parsing for the stub tier. */
   def decodeMeta(assets: Dataset[Asset]): Dataset[AssetMeta] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        StubCodec.decode(a.bytes).map(d =>
-          AssetMeta(a.asset_id, d.kind, d.width, d.height, d.channels,
-            d.frames, a.bytes.length))
+        Codecs.decode(a.bytes).map(d =>
+          AssetMeta(a.asset_id, d.kind, d.format, d.width, d.height,
+            d.channels, d.frames, a.bytes.length))
       }
     }
   }
 
-  /** Byte-histogram feature (16 bins over the payload body) — the stub
-    * stand-in for an embedding/feature extractor; batch shape identical. */
+  /** Byte-histogram feature (16 bins over the decoded pixel/sample
+    * payload) — a real signal for the real containers; batch shape
+    * identical to an embedding extractor's. */
   def features(assets: Dataset[Asset]): Dataset[AssetFeature] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        StubCodec.decode(a.bytes).map { d =>
+        Codecs.decode(a.bytes).map { d =>
           val hist = new Array[Double](16)
           var i = 0
           while (i < d.body.length) { hist((d.body(i) & 0xff) >> 4) += 1; i += 1 }
@@ -130,18 +149,17 @@ object Assets {
     }
   }
 
-  /** STUB resize: re-encodes image headers at (w, h), body truncated or
-    * cycled deterministically to w*h*channels/64 bytes. */
+  /** Image resize: REAL nearest-neighbor resample of the decoded pixel
+    * array, re-encoded as PPM (the normalization target for downstream
+    * training pipelines). Non-images pass through unchanged. */
   def resize(assets: Dataset[Asset], w: Int, h0: Int): Dataset[Asset] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        StubCodec.decode(a.bytes) match {
+        Codecs.decode(a.bytes) match {
           case Some(d) if d.kind == "image" =>
-            val outLen = math.max(1, w * h0 * d.channels / 64)
-            val body = Array.tabulate[Byte](outLen)(i => d.body(i % d.body.length))
-            a.copy(bytes = StubCodec.encode("image", w, h0, d.channels, 1, body))
+            a.copy(bytes = Codecs.resizeToPpm(d, w, h0))
           case _ => a
         }
       }
@@ -155,7 +173,7 @@ object Assets {
     import spark.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        StubCodec.decode(a.bytes) match {
+        Codecs.decode(a.bytes) match {
           case Some(d) if d.kind == "video" && d.frames > 0 =>
             val per = math.max(1, d.body.length / d.frames)
             (0 until d.frames by stride).iterator.map { f =>

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{Asset, Assets, StubCodec}
+import graft.multimodal.{Asset, Assets, Codecs, StubCodec}
 
 /** Multimodal plumbing: codec round-trip, decode determinism across
   * partitionings, frame sampling shapes, malformed-input tolerance. */
@@ -21,6 +21,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.channels === 3)
     assert(d.frames === 24)
     assert(d.body.toSeq === body.toSeq)
+  }
+
+  test("PPM round-trip incl. comment headers (real parser)") {
+    val rgb = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 10).toByte)
+    val d = Codecs.decode(Codecs.encodePpm(2, 2, rgb)).get
+    assert(d.kind === "image" && d.format === "ppm")
+    assert(d.width === 2 && d.height === 2 && d.channels === 3)
+    assert(d.body.toSeq === rgb.toSeq)
+    val withComment =
+      ("P6\n# a netpbm comment\n2 2\n255\n").getBytes("US-ASCII") ++ rgb
+    val dc = Codecs.decode(withComment).get
+    assert(dc.width === 2 && dc.height === 2 && dc.body.toSeq === rgb.toSeq)
+  }
+
+  test("BMP round-trip (uncompressed 24bpp, real parser)") {
+    val w = 4; val ht = 2
+    val bgr = Array.tabulate[Byte](w * 3 * ht)(i => (255 - i).toByte)
+    val d = Codecs.decode(Codecs.encodeBmp(w, ht, bgr)).get
+    assert(d.kind === "image" && d.format === "bmp")
+    assert(d.width === 4 && d.height === 2 && d.channels === 3)
+    assert(d.body.toSeq === bgr.toSeq)
+  }
+
+  test("WAV round-trip (RIFF/PCM16, real parser)") {
+    val samples = Array.tabulate[Short](20)(i => (i * 1000).toShort)
+    val d = Codecs.decode(Codecs.encodeWav(2, 8000, samples)).get
+    assert(d.kind === "audio" && d.format === "wav")
+    assert(d.channels === 2 && d.width === 8000) // width carries sample rate
+    assert(d.frames === 10) // 20 samples / 2 channels
+    assert(d.body.length === 40)
+  }
+
+  test("resize is a real nearest-neighbor resample (PPM output)") {
+    // 2x1 image: red pixel | blue pixel → 4x2: left half red, right blue
+    val rgb = Array[Byte](-1, 0, 0, 0, 0, -1) // (255,0,0), (0,0,255)
+    val src = Seq(Asset(7L, "image", Codecs.encodePpm(2, 1, rgb))).toDS()
+    val out = Assets.resize(src, 4, 2).collect()(0)
+    val d = Codecs.decode(out.bytes).get
+    assert(d.format === "ppm" && d.width === 4 && d.height === 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val p = (y * 4 + x) * 3
+      val expected = if (x < 2) Seq(-1, 0, 0) else Seq(0, 0, -1)
+      assert(Seq(d.body(p), d.body(p + 1), d.body(p + 2)).map(_.toInt)
+        === expected.map(_.toInt), s"pixel ($x,$y)")
+    }
   }
 
   test("decode rejects malformed payloads without failing the task") {
