@@ -218,6 +218,17 @@ object QueriesText {
         .withColumnRenamed("rank", "rnk")
     }, None),
 
+    // E3k: IVF (inverted-file) approximate KNN — the coarse-quantizer
+    // scale path (cells built once, queries probe nProbe cells).
+    // Approximate → rows-only; AnnSpec pins recall vs brute force.
+    ("e3_knn_ivf", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val emb = t(dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nList = 16, nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+    }, None),
+
     // DF1: the fused per-node dataflow-feature layer (SURVEY §2.4 A8) over
     // an events-derived storage/http edge table both engines can build —
     // checks the conditional-sum fusion and the redirect-depth plumbing

@@ -113,4 +113,86 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
+
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path
+    * (public design: Sivic & Zisserman's "Video Google" inverted index;
+    * the FAISS IVF family): spherical-k-means Lloyd iterations build
+    * `nList` centroids, the corpus partitions into cells with ONE shuffle,
+    * and each query probes only its `nProbe` nearest cells — per-query
+    * cost ≈ |corpus| · nProbe / nList instead of a full scan, and the
+    * cell assignment is reusable across query batches.
+    *
+    * Determinism (F19 rule): initial centroids are the xxhash64-smallest
+    * corpus vectors; every Lloyd step is a groupBy(cell, dim) mean whose
+    * only driver-side data is the nList centroid vectors themselves
+    * (bounded, same class as a convergence measure — never the corpus).
+    * Output (query_id, rank, neighbor_id), ties (sim desc, id asc). */
+  def ivfKnn(corpus: DataFrame, probes: DataFrame, idCol: String,
+             vecCol: String, k: Int, nList: Int = 16, nProbe: Int = 4,
+             iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val nc = corpus.select(col(idCol).as("neighbor_id"),
+      normalized(col(vecCol)).as("cv")).persist()
+
+    // deterministic seeds: hash-order sample of the corpus itself
+    var centroids: Array[Array[Double]] = nc
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(nList)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+    def assignUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+      var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+      while (c < cs.length) {
+        val cent = cs(c); var d = 0.0; var i = 0
+        while (i < cent.length && i < v.length) { d += cent(i) * v(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var it = 0
+    while (it < iters) {
+      val assigned = nc.withColumn("cell", assignUdf(centroids)(col("cv")))
+      // per-(cell, dim) means → nList small centroid rows at the driver
+      val means = assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = Array.fill(nList)(
+        new Array[Double](centroids.head.length))
+      means.foreach(r => next(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) =
+        r.getAs[Double]("m"))
+      // spherical k-means: re-normalize; empty cells keep their centroid
+      centroids = next.zip(centroids).map { case (m, old) =>
+        val n = math.sqrt(m.map(x => x * x).sum)
+        if (n > 0) m.map(_ / n) else old
+      }
+      it += 1
+    }
+
+    val cells = nc.withColumn("cell", assignUdf(centroids)(col("cv")))
+    val probeCells = udf { (v: Seq[Double]) =>
+      centroids.indices.map { c =>
+        val cent = centroids(c); var d = 0.0; var i = 0
+        while (i < cent.length && i < v.length) { d += cent(i) * v(i); i += 1 }
+        (d, c)
+      }.sortBy { case (d, c) => (-d, c) }.take(nProbe).map(_._2)
+    }
+    val p = probes.select(col(idCol).as("query_id"),
+        normalized(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val scored = cells.join(broadcast(p), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("cv")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+    nc.unpersist(false)
+    out
+  }
 }

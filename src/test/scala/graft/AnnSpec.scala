@@ -74,6 +74,22 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("ivfKnn recall >= 0.7 vs brute force; cells cover the corpus") {
+    val probes = df.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(df, probes, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.ivfKnn(df, probes, "vec_id", "embedding", k = 5,
+        nList = 8, nProbe = 3, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+    // determinism across runs (seeded init + deterministic Lloyd)
+    val again = Similarity.ivfKnn(df, probes, "vec_id", "embedding", k = 5,
+        nList = 8, nProbe = 3, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === approx)
+  }
+
   test("rhp signatures are deterministic across partitionings") {
     val s1 = df.repartition(1)
       .select(col("vec_id"), Similarity.rhpSignature(col("embedding"), 10))
