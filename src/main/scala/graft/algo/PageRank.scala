@@ -72,15 +72,15 @@ object PageRank {
         col("id"), lit(1.0 / n).as("rank"), col("deg"),
         lit(Double.MaxValue).as("delta"))
       case Some(w) =>
+        // no persist: `joined` is one cheap join off the cached verts —
+        // it runs once for the mass total and once when Superstep
+        // materializes the init state
         val joined = verts
           .join(w.select(col("id"), col("rank").as("r0")), Seq("id"), "left")
           .na.fill(1.0 / n, Seq("r0"))
-          .persist()
         val total = joined.agg(sum(col("r0"))).collect()(0).getDouble(0)
-        val out = joined.select(col("id"), (col("r0") / total).as("rank"),
+        joined.select(col("id"), (col("r0") / total).as("rank"),
           col("deg"), lit(Double.MaxValue).as("delta"))
-        joined.unpersist(false)
-        out
     }
 
     val cfg = cfg0.getOrElse(Superstep.Config(P, p.maxIter, p.tol))

@@ -139,6 +139,11 @@ object Similarity {
       .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
       .limit(nList)
       .collect().map(_.getSeq[Double](1).toArray)
+    if (centroids.isEmpty) { // empty corpus → empty result, not a crash
+      nc.unpersist(false)
+      return spark.range(0).select(col("id").as("query_id"),
+        lit(0).as("rank"), col("id").as("neighbor_id"))
+    }
 
     def assignUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
       var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
@@ -154,10 +159,15 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val assigned = nc.withColumn("cell", assignUdf(centroids)(col("cv")))
-      // per-(cell, dim) means → nList small centroid rows at the driver
+      // per-(cell, dim) means → nList small centroid rows at the driver.
+      // The mean rides DECIMAL (exact, order-independent) so centroids —
+      // and therefore cell assignments — are identical under any
+      // partition layout, not just under a fixed one (F19 rule; the
+      // dsumSql discipline applied to the Lloyd step)
       val means = assigned
         .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x").cast("decimal(30,18)")).cast("double").as("m"))
         .collect()
       val next = Array.fill(nList)(
         new Array[Double](centroids.head.length))
@@ -171,7 +181,11 @@ object Similarity {
       it += 1
     }
 
+    // materialize the inverted file BEFORE dropping the normalized-corpus
+    // cache — the returned plan must not re-normalize the corpus
     val cells = nc.withColumn("cell", assignUdf(centroids)(col("cv")))
+      .localCheckpoint(true)
+    nc.unpersist(false)
     val probeCells = udf { (v: Seq[Double]) =>
       centroids.indices.map { c =>
         val cent = centroids(c); var d = 0.0; var i = 0
@@ -189,10 +203,8 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
-    nc.unpersist(false)
-    out
   }
 }

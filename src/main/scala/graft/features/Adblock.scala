@@ -71,7 +71,9 @@ object Adblock {
       line.contains("##") || line.contains("#@#")) return None
     val (exception, rest0) =
       if (line.startsWith("@@")) (true, line.drop(2)) else (false, line)
-    val dollar = rest0.lastIndexOf('$')
+    // adblockparser splits at the FIRST '$' (rule_text.split('$', 1)) — a
+    // '$' inside the URL pattern makes everything after it options
+    val dollar = rest0.indexOf('$')
     val (pat, optStr) =
       if (dollar > 0) (rest0.substring(0, dollar), rest0.substring(dollar + 1))
       else (rest0, "")
@@ -102,15 +104,26 @@ object Adblock {
   private def domainMatches(pageDomain: String, d: String): Boolean =
     pageDomain == d || pageDomain.endsWith("." + d)
 
-  /** adblockparser option semantics: every option the rule carries must be
-    * satisfied by the request's context. Requested resource types not
-    * constrained by the rule are fine; a rule constrained to a type blocks
-    * only that type. */
+  /** adblockparser option semantics: a rule is EVALUATED only when every
+    * option KEY it carries is supplied by the caller's context — and the
+    * reference's match_url supplies 'third-party' only for third-party
+    * requests and a resource-type key only for that resource's own type
+    * (node_labelling.py:37-91). Consequences faithfully kept: negated
+    * third-party/type options (`$~third-party`, `$~script`) can never
+    * match — the missing key makes the rule inapplicable instead;
+    * `subdocument` is the one type key supplied for EVERY request (True
+    * only for sub_frame), so `$~subdocument` does match non-subframes. */
   private def optionsOk(r: Rule, thirdParty: Boolean, pageDomain: String,
                         reqTypes: Set[String]): Boolean = {
-    if (r.thirdParty.exists(_ != thirdParty)) return false
+    r.thirdParty match {
+      case Some(v) =>
+        if (!thirdParty) return false // key absent → rule not applicable
+        if (!v) return false          // ~third-party vs supplied True
+      case None => ()
+    }
     val typesOk = r.typeOpts.forall { case (t, expected) =>
-      reqTypes.contains(t) == expected
+      if (t == "subdocument") reqTypes.contains("subdocument") == expected
+      else reqTypes.contains(t) && expected // key absent → not applicable
     }
     if (!typesOk) return false
     if (r.domains.nonEmpty) {

@@ -37,40 +37,57 @@ object AdditionalFeatures {
       .where(col("action").isin("set", "set_js"))
       .select(col("visit_id"), col("src"), col("attr"))
       // reference gate: skip any attr whose STRING contains "N/A"
-      // (additional.py:129), then json.loads with name+value required
-      // (parse/KeyError rows are skipped, §2.11.6 swallow semantics)
+      // (additional.py:129), then json.loads with 'name' required. A row
+      // with name but NO value still contributes size_name — the python
+      // loop appends len(attr['name']) BEFORE the KeyError on
+      // attr['value'] and try doesn't roll the append back
+      // (additional.py:131-136, §2.11.6 swallow semantics).
       .withColumn("c_name", get_json_object(col("attr"), "$.name"))
       .withColumn("c_value", get_json_object(col("attr"), "$.value"))
       .withColumn("c_httponly", get_json_object(col("attr"), "$.httponly"))
       .withColumn("c_domain", get_json_object(col("attr"), "$.domain"))
-      .where(!col("attr").contains("N/A") &&
-        col("c_name").isNotNull && col("c_value").isNotNull)
-      // 'none' anywhere in the value (case-insens) zeroes its size
-      // (additional.py:133-136)
+      .where(!col("attr").contains("N/A") && col("c_name").isNotNull)
       .withColumn("size_name", length(col("c_name")))
+      // 'none' anywhere in the value (case-insens) zeroes its size
+      // (additional.py:133-136); null where the value is absent
       .withColumn("size_val",
-        when(lower(col("c_value")).contains("none"), 0)
+        when(col("c_value").isNull, lit(null).cast("int"))
+          .when(lower(col("c_value")).contains("none"), 0)
           .otherwise(length(col("c_value"))))
+    val hasVal = col("c_value").isNotNull
     sets
       .join(nodes.select(col("visit_id"), col("name").as("src"),
         col("top_level_domain")), Seq("visit_id", "src"), "left")
       .groupBy(col("visit_id"), col("src").as("name"))
       .agg(
-        max(col("size_name")).as("max_size_name"),
+        max(col("size_name")).as("sn_max"),
+        min(col("size_name")).as("sn_min"),
+        avg(col("size_name")).as("sn_mean"),
         max(col("size_val")).as("max_size_val"),
-        min(col("size_name")).as("min_size_name"),
         min(col("size_val")).as("min_size_val"),
-        avg(col("size_name")).as("mean_size_name"),
         avg(col("size_val")).as("mean_size_val"),
-        sum(when(col("c_httponly") === "true", 1L).otherwise(0L))
+        count(col("size_val")).as("n_val"),
+        // httponly / domain checks sit AFTER the value read in the
+        // reference loop — value-less rows never reach them
+        sum(when(hasVal && col("c_httponly") === "true", 1L).otherwise(0L))
           .as("num_httponly"),
         // cookie domain minus its leading '.' vs the node's site
         // (additional.py:139-143); null TLD ⇒ no count (reference throws
         // and skips the increment)
-        sum(when(col("c_domain").isNotNull &&
+        sum(when(hasVal && col("c_domain").isNotNull &&
           col("top_level_domain").isNotNull &&
           expr("substring(c_domain, 2)") =!= col("top_level_domain"), 1L)
           .otherwise(0L)).as("num_diff_domain"))
+      // reference emits the six size stats only when BOTH lists are
+      // non-empty (additional.py:147-153); size_name alone stays −1
+      .select(col("visit_id"), col("name"),
+        when(col("n_val") > 0, col("sn_max")).as("max_size_name"),
+        when(col("n_val") > 0, col("max_size_val")).as("max_size_val"),
+        when(col("n_val") > 0, col("sn_min")).as("min_size_name"),
+        when(col("n_val") > 0, col("min_size_val")).as("min_size_val"),
+        when(col("n_val") > 0, col("sn_mean")).as("mean_size_name"),
+        when(col("n_val") > 0, col("mean_size_val")).as("mean_size_val"),
+        col("num_httponly"), col("num_diff_domain"))
   }
 
   /** Response content-length stats (additional.py:60-96): clength pulled

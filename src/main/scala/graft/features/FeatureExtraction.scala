@@ -71,10 +71,14 @@ object FeatureExtraction {
     val ind = IndirectEdges.build(e).localCheckpoint(true)
     val indCounts = IndirectEdges.counts(ind)
     val indWeights = IndirectEdges.weights(ind)
-    // nx.compose(G, G_indirect) (dataflow.py:302) = union of edge sets;
-    // indirect + composed metrics share ONE superstep loop
-    val composed = core.simple.unionByName(
-      ind.select(col("visit_id"), col("src"), col("dst")))
+    // nx.compose(G, G_indirect) (dataflow.py:302) = union of edge sets.
+    // Union the RAW direct edges, not core.simple: simple strips
+    // self-loops, but the direct graph routinely has them (the main-frame
+    // normal edge is top_level_url → itself) and nx keeps them — a page
+    // node whose only edge is that self-loop must stay in the composed
+    // graph. indirect + composed metrics share ONE superstep loop.
+    val composed = e.select(col("visit_id"), col("src"), col("dst"))
+      .unionByName(ind.select(col("visit_id"), col("src"), col("dst")))
     val (indMetrics, indAllMetrics) =
       GraphMetrics.indirectAndComposedMetrics(ind, composed)
 

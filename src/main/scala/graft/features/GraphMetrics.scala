@@ -147,8 +147,14 @@ object GraphMetrics {
     // ---- eccentricity (undirected; -1 for all if disconnected) --------
     val udist = distances(simple, undirected = true).persist()
     val reachPairs = udist.groupBy("visit_id").agg(count(lit(1)).as("pairs"))
-    val connected = reachPairs.join(nVerts, "visit_id")
-      .select(col("visit_id"), (col("pairs") === col("n") * col("n")).as("conn"))
+    // anchor on nVerts (covers visits whose edges are ALL self-loops —
+    // udist is empty there): connected iff reachable pairs = n², or the
+    // graph is a single node (nx eccentricity 0); n≥2 with no non-self
+    // edges is disconnected → -1 for every node, matching nx's raise
+    val connected = nVerts.join(reachPairs, Seq("visit_id"), "left")
+      .select(col("visit_id"),
+        (coalesce(col("pairs"), lit(0L)) === col("n") * col("n") ||
+          col("n") === 1).as("conn"))
     val eccRaw = udist.groupBy(col("visit_id"), col("s").as("name"))
       .agg(max(col("dist")).as("ecc_raw"))
     // left join over ALL verts: a node touching only self-loops has no

@@ -103,12 +103,18 @@ object Codecs {
 
   // ---- BMP (uncompressed 24/32 bpp) ------------------------------------
 
+  /** Normalizes the pixel block to the same layout PPM uses — top-down,
+    * unpadded, RGB(A) channel order — so [[resizeToPpm]] and histogram
+    * consumers can treat every decoded image identically. BMP stores rows
+    * bottom-up (positive height), 4-byte-padded, in BGR(A) order. */
   def decodeBmp(bytes: Array[Byte]): Option[Decoded] = try {
     if (bytes.length < 54) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val dataOffset = buf.getInt(10)
     val width = buf.getInt(18)
-    val height = math.abs(buf.getInt(22))
+    val rawHeight = buf.getInt(22)
+    val height = math.abs(rawHeight)
+    val topDown = rawHeight < 0
     val bpp = buf.getShort(28) & 0xffff
     val compression = buf.getInt(30)
     if (width <= 0 || height <= 0 || compression != 0 ||
@@ -117,9 +123,23 @@ object Codecs {
     val rowBytes = (width * ch + 3) / 4 * 4 // rows pad to 4-byte boundaries
     if (dataOffset < 54 || dataOffset.toLong + rowBytes.toLong * height > bytes.length)
       return None
-    Some(Decoded("image", "bmp", width, height, ch, 1,
-      java.util.Arrays.copyOfRange(bytes, dataOffset,
-        dataOffset + rowBytes * height)))
+    val out = new Array[Byte](width * height * ch)
+    var y = 0
+    while (y < height) {
+      val srcRow = dataOffset + (if (topDown) y else height - 1 - y) * rowBytes
+      var x = 0
+      while (x < width) {
+        val s = srcRow + x * ch
+        val d = (y * width + x) * ch
+        out(d) = bytes(s + 2)     // R ← B slot
+        out(d + 1) = bytes(s + 1) // G
+        out(d + 2) = bytes(s)     // B ← R slot
+        if (ch == 4) out(d + 3) = bytes(s + 3) // A
+        x += 1
+      }
+      y += 1
+    }
+    Some(Decoded("image", "bmp", width, height, ch, 1, out))
   } catch { case _: Exception => None }
 
   def encodeBmp(width: Int, height: Int, bgr: Array[Byte]): Array[Byte] = {

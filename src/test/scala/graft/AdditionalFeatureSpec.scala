@@ -25,17 +25,26 @@ class AdditionalFeatureSpec extends AnyFunSuite {
       (1L, "S", """{"name":"c","value":"v","httponly":true,"domain":".other.example"}""", "set"),
       (1L, "S", "N/A", "set"), // substring gate skips the row
       (1L, "S", """{"name":"d","value":"v2","domain":".s.example"}""", "set"),
-      (1L, "S", """{"name":"zz","value":"zzzzzz"}""", "get") // wrong action
+      (1L, "S", """{"name":"noval6"}""", "set"), // python partial append:
+      // size_name recorded BEFORE the KeyError on the missing value
+      (1L, "S", """{"name":"zz","value":"zzzzzz"}""", "get"), // wrong action
+      (1L, "T", """{"name":"only"}""", "set") // value-less ONLY → all −1
     ).toDF("visit_id", "src", "attr", "action")
-    val r = AdditionalFeatures.cookieStats(edges, nodes).collect()(0)
-    assert(r.getAs[Int]("max_size_name") === 4)
+    val m = AdditionalFeatures.cookieStats(edges, nodes).collect()
+      .map(x => x.getAs[String]("name") -> x).toMap
+    val r = m("S")
+    assert(r.getAs[Int]("max_size_name") === 6) // "noval6" counts
     assert(r.getAs[Int]("min_size_name") === 1)
-    assert(r.getAs[Double]("mean_size_name") === 2.0)
+    assert(r.getAs[Double]("mean_size_name") === 2.8) // (2+4+1+1+6)/5
     assert(r.getAs[Int]("max_size_val") === 4)
     assert(r.getAs[Int]("min_size_val") === 0) // "None" value zeroed
     assert(r.getAs[Double]("mean_size_val") === 1.75)
     assert(r.getAs[Long]("num_httponly") === 1L)
     assert(r.getAs[Long]("num_diff_domain") === 1L) // .other.example only
+    // no value-bearing row at all → the reference's both-lists gate keeps
+    // every size stat unset
+    assert(m("T").isNullAt(m("T").fieldIndex("max_size_name")))
+    assert(m("T").isNullAt(m("T").fieldIndex("mean_size_val")))
   }
 
   test("responseStats: clength stats, zero-drop, null respattr passes") {

@@ -35,13 +35,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dc.width === 2 && dc.height === 2 && dc.body.toSeq === rgb.toSeq)
   }
 
-  test("BMP round-trip (uncompressed 24bpp, real parser)") {
-    val w = 4; val ht = 2
-    val bgr = Array.tabulate[Byte](w * 3 * ht)(i => (255 - i).toByte)
-    val d = Codecs.decode(Codecs.encodeBmp(w, ht, bgr)).get
+  test("BMP decode normalizes to top-down unpadded RGB (row padding, " +
+    "bottom-up storage, BGR order all undone)") {
+    // 2x2 image, w=2 → rowBytes 8 (2 pad bytes/row). Target top-down RGB:
+    // (1,2,3)(4,5,6) / (7,8,9)(10,11,12)
+    val bgr = Array[Byte](
+      9, 8, 7, 12, 11, 10, 0, 0, // BMP row 0 = image BOTTOM row, BGR
+      3, 2, 1, 6, 5, 4, 0, 0)    // BMP row 1 = image top row
+    val d = Codecs.decode(Codecs.encodeBmp(2, 2, bgr)).get
     assert(d.kind === "image" && d.format === "bmp")
-    assert(d.width === 4 && d.height === 2 && d.channels === 3)
-    assert(d.body.toSeq === bgr.toSeq)
+    assert(d.width === 2 && d.height === 2 && d.channels === 3)
+    assert(d.body.toSeq === Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
   }
 
   test("WAV round-trip (RIFF/PCM16, real parser)") {
