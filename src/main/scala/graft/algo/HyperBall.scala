@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object HyperBall {
 
-  /** (id, reach_approx, sum_dist_approx, ecc_approx, closeness_approx). */
+  /** (id, reach_approx, sum_dist_approx, ecc_approx, closeness_approx).
+    * `cfg0` threads a checkpointing Superstep config (store + cadence) for
+    * mid-convergence resume, same as the other iterative algorithms. */
   def run(edges: DataFrame, numPartitions: Int = 32, maxIter: Int = 64,
-          lgK: Int = 12): DataFrame = {
+          lgK: Int = 12, cfg0: Option[Superstep.Config] = None): DataFrame = {
     val spark = edges.sparkSession
     val P = numPartitions
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -51,7 +53,7 @@ object HyperBall {
       .withColumn("changed", lit(1L))
       .repartition(P, col("id"))
 
-    val cfg = Superstep.Config(P, maxIter, tol = 0.0)
+    val cfg = cfg0.getOrElse(Superstep.Config(P, maxIter, tol = 0.0))
     val res = Superstep.run(spark, init, cfg) { (state, step) =>
       val t = step + 1 // distance reached by this superstep's expansion
       // each vertex unions its predecessors' balls (incoming direction)
