@@ -99,6 +99,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered jaccardPairs equals plain-Scala brute force on " +
+    "random corpora (exactness + guaranteed recall)") {
+    // docs share tokens from a small vocabulary so hub shingles (high
+    // document frequency) actually occur — the case the prefix filter
+    // must survive without losing recall
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen: Gen[Seq[(Long, String)]] = for {
+      nDocs <- Gen.choose(8, 20)
+      docs <- Gen.sequence[Seq[String], String]((0 until nDocs).map { _ =>
+        for {
+          len <- Gen.choose(5, 14)
+          ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+        } yield ws.mkString(" ")
+      })
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    def shingles(t: String, n: Int): Set[String] =
+      t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+
+    forAllSeeded(docGen, cases = 4) { docs =>
+      val minJ = 0.5 // lower threshold → shorter prefixes → harder case
+      val got = Dedup.jaccardPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 2, minJ = minJ)
+        .collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+      val sh = docs.map { case (id, t) => id -> shingles(t, 2) }.toMap
+      val expect = (for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b
+        inter = (sa intersect sb).size
+        uni = (sa union sb).size
+        if uni > 0 && inter.toDouble / uni >= minJ
+      } yield (a, b, inter.toLong, uni.toLong)).toSet
+      assert(got === expect)
+    }
+  }
+
   test("dedup idempotence: minHashLsh on an already-deduped corpus is empty") {
     val texts = (0 until 25).map { i =>
       (i.toLong, (0 until 30).map(j =>
