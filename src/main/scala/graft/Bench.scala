@@ -18,6 +18,27 @@ import graft.sources.PagesGen
   * [[graft.bench.Scaling]] (N vs 4N cores, same input — BASELINE.md §protocol).
   */
 object Bench {
+  import java.lang.management.ManagementFactory
+
+  /** Process CPU seconds so far (-1 if the platform bean is unavailable). */
+  private def processCpuSec(): Double =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    }
+
+  /** Cumulative GC seconds across all collectors. */
+  private def gcSec(): Double = {
+    import scala.jdk.CollectionConverters._
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
+  private def loadAvg(): Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -39,6 +60,18 @@ object Bench {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+
+    // wall + process-CPU + GC seconds: on a contended box wall >> cpu, which
+    // makes an external stall self-evident in the emitted JSON (VERDICT r2 #1)
+    def timed3[T](f: => T): (T, Double, Double, Double) = {
+      val (c0, g0, t0) = (processCpuSec(), gcSec(), System.nanoTime())
+      val r = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      (r, wall, processCpuSec() - c0, gcSec() - g0)
+    }
+
+    val loadStart = loadAvg()
+    val cpuStart = processCpuSec()
 
     // ---- headline: the north-rule pipeline -------------------------------
     val pages = PagesGen.generate(spark, sites, pagesPerSite, seed = 42L,
@@ -71,12 +104,17 @@ object Bench {
 
     // ---- operator registry at sfDir --------------------------------------
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (_, wall, cpu, gc) =
+        timed3(try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L })
+      QueryUtil.releaseScratch(spark) // no retained blocks across the sweep
+      (name, wall, cpu, gc)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":${v}%.3f""" }
-      .mkString("{", ",", "}")
+    def numMap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + f"""\":${v}%.3f""" }
+        .mkString("{", ",", "}")
+    val qs = numMap(results.map(r => r._1 -> r._2))
+    val qsCpu = numMap(results.map(r => r._1 -> r._3))
+    val qsGc = numMap(results.map(r => r._1 -> r._4))
     val total = buildSec + prSec + ccSec + triSec + lpSec + results.map(_._2).sum
 
     val graphJson =
@@ -86,8 +124,15 @@ object Bench {
         f""""cc_sec":$ccSec%.2f,"cc_steps":${cc.steps},""" +
         f""""triangles":$tri,"triangles_sec":$triSec%.2f,"lp_sec":$lpSec%.2f}"""
 
+    val loadEnd = loadAvg()
+    val totalCpu = processCpuSec() - cpuStart
+    val diagJson =
+      f"""{"total_cpu_sec":$totalCpu%.2f,"load_avg_start":$loadStart%.2f,""" +
+        f""""load_avg_end":$loadEnd%.2f,"queries_cpu_sec":$qsCpu,""" +
+        f""""queries_gc_sec":$qsGc}"""
+
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""graph":$graphJson,"cores":$cpus,"sf":"$sfDir"}"""
+      s""""graph":$graphJson,"diag":$diagJson,"cores":$cpus,"sf":"$sfDir"}"""
     // sidecar file for local iteration; stdout line is the driver contract
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))

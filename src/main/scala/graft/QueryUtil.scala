@@ -28,4 +28,14 @@ object QueryUtil {
     * integer sum in oracle SQL must go through this (mirror of [[dsumSql]]
     * for the decimal case). */
   def isumSql(expr: String): String = s"CAST(SUM($expr) AS BIGINT)"
+
+  /** Single-session sweep hygiene: drop every RDD block still pinned by a
+    * `localCheckpoint(true)` (e.g. if1's shared indirect-edge IR — a
+    * checkpoint's blocks can't be released from inside a query fn because
+    * the returned plan still reads them). Bench and Verify call this after
+    * CONSUMING each registry query, so no retained blocks accumulate across
+    * a sweep. Only call once the query's result has been fully consumed. */
+  def releaseScratch(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
 }

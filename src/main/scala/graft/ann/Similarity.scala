@@ -94,15 +94,20 @@ object Similarity {
              probeBits: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       rhpSignature(col(vecCol), nBits).as("sig"))
-    val flips = lit(0L) +: (0 until nBits).map(b => shiftleft(lit(1L), b))
-    val probeSigs = if (probeBits >= 1) array(flips: _*) else array(lit(0L))
+    // multi-probe: every XOR mask of hamming weight ≤ probeBits — true
+    // probeBits-adjacent buckets (Σ C(nBits,i) masks), not just 1-bit flips
+    val masks: Seq[Long] = 0L +: (1 to probeBits).flatMap(w =>
+      (0 until nBits).combinations(w).map(_.map(1L << _).reduce(_ | _)).toSeq)
+    val probeSigs = array(masks.map(lit): _*)
     val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         rhpSignature(col(vecCol), nBits).as("psig"))
       .select(col("query_id"), col("qv"), col("psig"),
         explode(probeSigs).as("flip"))
       .select(col("query_id"), col("qv"),
         col("psig").bitwiseXOR(col("flip")).as("sig"))
-    val scored = c.join(broadcast(p), Seq("sig"))
+    // no broadcast hint: a corpus-scale probe batch × masks would blow the
+    // broadcast limit; AQE broadcasts small probe sets at runtime anyway
+    val scored = c.join(p, Seq("sig"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("sim"))
@@ -181,10 +186,12 @@ object Similarity {
       it += 1
     }
 
-    // materialize the inverted file BEFORE dropping the normalized-corpus
-    // cache — the returned plan must not re-normalize the corpus
+    // the returned plan is fully LAZY and stateless: normalization + cell
+    // assignment recompute from `corpus` at action time (one pass), so no
+    // checkpoint/cache block outlives this call — a registry sweep retains
+    // nothing. Callers reusing the inverted file across query batches
+    // should persist `cells` themselves.
     val cells = nc.withColumn("cell", assignUdf(centroids)(col("cv")))
-      .localCheckpoint(true)
     nc.unpersist(false)
     val probeCells = udf { (v: Seq[Double]) =>
       centroids.indices.map { c =>
@@ -196,7 +203,9 @@ object Similarity {
     val p = probes.select(col(idCol).as("query_id"),
         normalized(col(vecCol)).as("qv"))
       .withColumn("cell", explode(probeCells(col("qv"))))
-    val scored = cells.join(broadcast(p), Seq("cell"))
+    // shuffle hash join on `cell` stays correct at any probe cardinality;
+    // AQE picks broadcast when the exploded probe side is actually small
+    val scored = cells.join(p, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         dot(col("qv"), col("cv")).as("sim"))

@@ -40,8 +40,12 @@ object Adblock {
   private val supportedTypes =
     Set("script", "image", "stylesheet", "xmlhttprequest", "subdocument")
 
-  /** Adblock pattern → anchored regex (public ABP translation). */
+  /** Adblock pattern → anchored regex (public ABP translation).
+    * A `/re/`-delimited pattern is already a regex: pass it through
+    * untouched (adblockparser `_rule_to_regex` head case). */
   private[features] def patternToRegex(raw: String): String = {
+    if (raw.length > 1 && raw.startsWith("/") && raw.endsWith("/"))
+      return raw.substring(1, raw.length - 1)
     var rule = raw
     val sb = new StringBuilder
     val endAnchor = rule.nonEmpty && rule.last == '|' &&
@@ -91,6 +95,7 @@ object Adblock {
           domains = name.drop(7).split('|').toSeq
             .filter(_.nonEmpty)
             .map(d => (d.startsWith("~"), d.stripPrefix("~")))
+        else if (name == "match-case") () // adblockparser ignores this option
         else return None // unsupported option: skip the whole rule
       }
     }
@@ -101,8 +106,27 @@ object Adblock {
 
   def parseList(lines: Seq[String]): Seq[Rule] = lines.flatMap(parseRule)
 
-  private def domainMatches(pageDomain: String, d: String): Boolean =
-    pageDomain == d || pageDomain.endsWith("." + d)
+  /** adblockparser `_domain_variants`: the domain then each parent suffix
+    * down to two labels ("a.b.c.com" → a.b.c.com, b.c.com, c.com); a
+    * single-label domain yields itself. */
+  private[features] def domainVariants(domain: String): Seq[String] = {
+    val parts = domain.split('.')
+    if (parts.length <= 1) Seq(domain)
+    else (parts.length to 2 by -1).map(i => parts.takeRight(i).mkString("."))
+  }
+
+  /** adblockparser `_domain_matches`: walk page-domain variants
+    * most-specific-first; the FIRST variant present among the rule's
+    * domains decides (its stored polarity), so a specific positive
+    * overrides a broader negative. Fallback: match only when every rule
+    * domain is negated. */
+  private[features] def domainRulesMatch(
+      pageDomain: String, domains: Seq[(Boolean, String)]): Boolean = {
+    val byDomain = domains.map { case (neg, d) => d -> !neg }.toMap
+    domainVariants(pageDomain).collectFirst {
+      case v if byDomain.contains(v) => byDomain(v)
+    }.getOrElse(!byDomain.values.exists(identity))
+  }
 
   /** adblockparser option semantics: a rule is EVALUATED only when every
     * option KEY it carries is supplied by the caller's context — and the
@@ -126,13 +150,8 @@ object Adblock {
       else reqTypes.contains(t) && expected // key absent → not applicable
     }
     if (!typesOk) return false
-    if (r.domains.nonEmpty) {
-      val pos = r.domains.filter(!_._1).map(_._2)
-      val neg = r.domains.filter(_._1).map(_._2)
-      val posOk = pos.isEmpty || pos.exists(domainMatches(pageDomain, _))
-      val negOk = !neg.exists(domainMatches(pageDomain, _))
-      if (!(posOk && negOk)) return false
-    }
+    if (r.domains.nonEmpty && !domainRulesMatch(pageDomain, r.domains))
+      return false
     true
   }
 

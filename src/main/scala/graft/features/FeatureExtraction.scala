@@ -115,10 +115,10 @@ object FeatureExtraction {
     out
   }
 
-  /** Filter-list labelling as a pattern-table join (the adblock-rule DSL is
-    * out of engine scope, SURVEY.md §7.5; a pattern table reproduces the
-    * test-relevant behavior): label = true iff any pattern is a substring
-    * of the node url (A11 disjunction across lists). */
+  /** LEGACY substring labelling — real Adblock-Plus rule semantics live in
+    * [[graft.features.Adblock.labelNodes]] (use that; this survives only as
+    * the simplest pattern-table join shape for tests): label = true iff any
+    * pattern is a substring of the node url (A11 disjunction). */
   def label(nodes: DataFrame, patterns: DataFrame): DataFrame = {
     val p = broadcast(patterns.select(col("pattern")))
     classifiable(nodes)

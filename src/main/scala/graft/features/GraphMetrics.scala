@@ -92,9 +92,9 @@ object GraphMetrics {
     * reuse (direct distances feed the ancestor flags and the diff-domain
     * ancestor counts). `release()` drops the caches. */
   private[features] final case class CoreMetrics(
-      simple: DataFrame, verts: DataFrame, degrees: DataFrame,
-      dist: DataFrame, nVerts: DataFrame, nEdges: DataFrame,
-      metrics: DataFrame, release: () => Unit)
+      simple: DataFrame, simpleAll: DataFrame, verts: DataFrame,
+      degrees: DataFrame, dist: DataFrame, nVerts: DataFrame,
+      nEdges: DataFrame, metrics: DataFrame, release: () => Unit)
 
   /** Per-node metric core over one edge set (direct, indirect, or composed
     * graph — they share ALL metric semantics): in/out/in+out degree,
@@ -196,7 +196,7 @@ object GraphMetrics {
       .na.fill(0L, Seq("ancestors", "descendants"))
       .na.fill(0.0, Seq("closeness_centrality"))
 
-    CoreMetrics(simple, verts, degrees, dist, nVerts, nEdges, metrics,
+    CoreMetrics(simple, simpleAll, verts, degrees, dist, nVerts, nEdges, metrics,
       () => Seq(simpleAll, simple, verts, degrees, dist, udist)
         .foreach(_.unpersist(false)))
   }
@@ -225,14 +225,17 @@ object GraphMetrics {
       (get_json_object(col("attr"), "$.eval") === "true") &&
       (get_json_object(col("attr"), "$.subtype") === "script")
 
-    val parentFlags = c.simple
+    // 1-hop flags over simpleAll: nx G.predecessors/successors include the
+    // node itself on a self-loop (the direct graph routinely carries them),
+    // while the ancestor flags stay on dist, which never pairs self-self
+    val parentFlags = c.simpleAll
       .join(typed.withColumnRenamed("name", "src"), Seq("visit_id", "src"), "left")
       .groupBy(col("visit_id"), col("dst").as("name"))
       .agg(
         max(when(col("type") === "Script", 1).otherwise(0)).as("is_parent_script"),
         sum(when(col("type") === "Script", 1).otherwise(0)).as("num_script_predecessors"),
         max(when(evalElem, 1).otherwise(0)).as("is_eval_or_function"))
-    val childFlags = c.simple
+    val childFlags = c.simpleAll
       .join(typed.withColumnRenamed("name", "dst"), Seq("visit_id", "dst"), "left")
       .groupBy(col("visit_id"), col("src").as("name"))
       .agg(sum(when(col("type") === "Script", 1).otherwise(0)).as("num_script_successors"))

@@ -73,6 +73,42 @@ class AdblockSpec extends AnyFunSuite {
     assert(!block("http://geo.example/x", pageDomain = "other.site"))
   }
 
+  test("$domain= walks variants most-specific-first (adblockparser parity)") {
+    // specific positive overrides a broader negative: adblockparser's
+    // _domain_matches returns the polarity of the FIRST variant hit
+    val r = Adblock.parseList(Seq(
+      "||mix.example^$domain=~example.com|shop.example.com")).head
+    def b(page: String) =
+      Adblock.shouldBlock(Seq(r), "http://mix.example/x", thirdParty = false,
+        page, Set.empty)
+    assert(b("shop.example.com"))        // specific positive wins
+    assert(b("a.shop.example.com"))      // subdomain walks to the positive first
+    assert(!b("other.example.com"))      // hits the negative parent
+    assert(!b("unrelated.com"))          // no hit + a positive exists → no match
+    // all-negated fallback: match iff every rule domain is negated
+    val neg = Adblock.parseList(Seq("||anywhere.example^$domain=~bad.com")).head
+    assert(Adblock.shouldBlock(Seq(neg), "http://anywhere.example/x",
+      thirdParty = false, "good.com", Set.empty))
+    assert(!Adblock.shouldBlock(Seq(neg), "http://anywhere.example/x",
+      thirdParty = false, "sub.bad.com", Set.empty))
+  }
+
+  test("$match-case is ignored, not unsupported (rule still evaluates)") {
+    val r = Adblock.parseList(Seq("||cased.example^$match-case"))
+    assert(r.size === 1)
+    assert(Adblock.shouldBlock(r, "http://cased.example/x", thirdParty = false,
+      "page.example", Set.empty))
+  }
+
+  test("raw /regex/ rules pass through as regex, not literal text") {
+    val r = Adblock.parseList(Seq("/banner\\d+/"))
+    assert(r.size === 1)
+    assert(Adblock.shouldBlock(r, "http://x.example/banner123", thirdParty = false,
+      "page.example", Set.empty))
+    assert(!Adblock.shouldBlock(r, "http://x.example/banner/x", thirdParty = false,
+      "page.example", Set.empty))
+  }
+
   test("reference option wiring: node type + party (match_url semantics)") {
     // third-party derives from page vs node domain; script cpt → script opt
     assert(Adblock.nodeBlocked(rules, "http://track.example/t.js",

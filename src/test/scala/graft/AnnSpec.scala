@@ -74,6 +74,32 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("lshKnn multi-probe: probeBits=2 recall >= probeBits=1 and >= 0.7") {
+    val probes = df.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(df, probes, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt(pb: Int): Double = {
+      val approx = Similarity.lshKnn(df, probes, "vec_id", "embedding", k = 5,
+          nBits = 6, probeBits = pb)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val (r1, r2) = (recallAt(1), recallAt(2))
+    // weight-≤2 masks strictly widen the probed bucket set → monotone recall
+    assert(r2 >= r1, s"probeBits=2 recall $r2 < probeBits=1 recall $r1")
+    assert(r2 >= 0.7, s"recall $r2")
+  }
+
+  test("ivfKnn leaves no retained RDD blocks after its action (lazy plan)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val probes = df.where(col("vec_id") < 4)
+    Similarity.ivfKnn(df, probes, "vec_id", "embedding", k = 3,
+      nList = 8, nProbe = 2, iters = 2).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"ivfKnn retained RDD blocks after consumption: $leaked")
+  }
+
   test("ivfKnn recall >= 0.7 vs brute force; cells cover the corpus") {
     val probes = df.where(col("vec_id") < 20)
     val exact = Similarity.bruteForceKnn(df, probes, "vec_id", "embedding", k = 5)

@@ -79,6 +79,25 @@ class FeatureSpec extends AnyFunSuite {
     assert(m("B").getAs[Double]("nodes_div_by_edges") === 1.0)
   }
 
+  test("1-hop flags include self on a self-loop (nx predecessors/successors)") {
+    // nx DiGraph: a self-loop makes the node its own predecessor AND
+    // successor, so the Script self-loop below must count itself in the
+    // 1-hop script flags (ancestor flags stay self-exclusive via dist>0)
+    val e = Seq((1L, "S", "S"), (1L, "S", "X")).toDF("visit_id", "src", "dst")
+    val n = Seq((1L, "S", "Script", ""), (1L, "X", "Request", ""))
+      .toDF("visit_id", "name", "type", "attr")
+    val f = GraphMetrics.structure(n, e)
+      .collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(f("S").getAs[Int]("is_parent_script") === 1)
+    assert(f("S").getAs[Long]("num_script_predecessors") === 1L)
+    assert(f("S").getAs[Long]("num_script_successors") === 1L) // itself
+    assert(f("X").getAs[Int]("is_parent_script") === 1)
+    assert(f("X").getAs[Long]("num_script_successors") === 0L)
+    // self is never its own ANCESTOR: dist-based flag stays 0 for S
+    assert(f("S").getAs[Int]("is_ancestor_script") === 0)
+    assert(f("X").getAs[Int]("is_ancestor_script") === 1)
+  }
+
   test("dataflow counts fuse per-direction aggregations") {
     val e = Seq(
       (1L, "s1", "ck1", "set_js", "N/A", "200"),
