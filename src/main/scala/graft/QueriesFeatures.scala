@@ -180,6 +180,82 @@ object QueriesFeatures {
         |  COALESCE(max_in_w, -1) AS max_in_w
         |FROM oc FULL OUTER JOIN ic ON oc.visit_id = ic.visit_id AND oc.name = ic.name""".stripMargin)),
 
+    // IF2: the FULL IndirectEdges.build table with every family NONZERO —
+    // closes the J9/J10 oracle gap (if1's table provably yields no
+    // theta-family edges): synthetic cookie-value strings 'valXZ' (len>3,
+    // punctuation-free, so the reference's partial/b64/md5/sha1 predicate
+    // branches reduce to raw containment — features/utils.py:283-368,
+    // 471-486) embedded in 2-hop request URLs, mirrored in SQL by modular
+    // equality of the embedded digit.
+    ("if2_indirect_edges", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val e0 = t(dir, "events").select((col("user_id") % 5).as("visit_id"),
+        col("event_id").as("c"), k.as("k"))
+      val edges = e0.select(
+        col("visit_id"),
+        when(col("k") % 4 === 0, concat(lit("s"), col("k") % 10))
+          .when(col("k") % 4 === 1, concat(lit("g"), col("k") % 10))
+          .when(col("k") % 4 === 2, concat(lit("u"), col("k") % 7))
+          .otherwise(concat(lit("m"), col("c") % 250)).as("src"),
+        when(col("k") % 4 <= 1, concat(lit("ck"), shiftright(col("k"), 2) % 6))
+          .when(col("k") % 4 === 2, concat(lit("m"), col("c") % 250))
+          .otherwise(concat(lit("http://t"), col("k") % 9,
+            lit(".com/?q=val"), shiftright(col("k"), 2) % 6, lit("Z"))).as("dst"),
+        when(col("k") % 4 === 0, "set_js").when(col("k") % 4 === 1, "get_js")
+          .otherwise("N/A").as("action"),
+        when(col("k") % 4 === 0, concat(lit("{\"value\":\"val"), shiftright(col("k"), 2) % 6,
+          lit("Z\"}"))).otherwise(lit(null).cast("string")).as("attr"),
+        when(col("k") % 4 === 2, concat(lit("[[\"Cookie\",\"t=val"),
+            shiftright(col("k"), 2) % 6, lit("Z\"]]")))
+          .when(col("k") % 4 === 3, lit("[[\"A\",\"x\"]]"))
+          .otherwise(lit("N/A")).as("reqattr"),
+        lpad(col("c").cast("string"), 10, "0").as("time_stamp"))
+      IndirectEdges.build(edges)
+    }, Some(
+      """WITH e0 AS (SELECT user_id % 5 AS v, event_id AS c,
+        |    CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events),
+        |sa AS (SELECT v, 's' || (k%10) AS src, 'ck' || ((k//4)%6) AS dst,
+        |    'val' || ((k//4)%6) || 'Z' AS cv, lpad(CAST(c AS VARCHAR),10,'0') AS ts
+        |  FROM e0 WHERE k%4=0),
+        |gb AS (SELECT v, 'g' || (k%10) AS src, 'ck' || ((k//4)%6) AS dst
+        |  FROM e0 WHERE k%4=1),
+        |h1 AS (SELECT v, 'u' || (k%7) AS src, 'm' || (c%250) AS mid,
+        |    ((k//4)%6) AS xv FROM e0 WHERE k%4=2),
+        |h2 AS (SELECT v, 'm' || (c%250) AS mid,
+        |    'http://t' || (k%9) || '.com/?q=val' || ((k//4)%6) || 'Z' AS dst,
+        |    ((k//4)%6) AS yv FROM e0 WHERE k%4=3),
+        |sgp AS (SELECT DISTINCT a.v, a.src AS ssrc, b.src AS gsrc, a.dst
+        |  FROM sa a JOIN gb b ON b.v = a.v AND b.dst = a.dst),
+        |sge AS (SELECT v, ssrc AS src, gsrc AS dst,
+        |    CAST(COUNT(*) AS BIGINT) AS attr, 'set_get' AS type
+        |  FROM sgp GROUP BY v, ssrc, gsrc),
+        |rk AS (SELECT v, src, dst, ROW_NUMBER() OVER (PARTITION BY v, dst
+        |    ORDER BY ts ASC, src ASC) AS rn FROM sa),
+        |smp AS (SELECT DISTINCT f.v, f.src AS fsrc, l.src AS lsrc, f.dst
+        |  FROM rk f JOIN rk l ON l.v = f.v AND l.dst = f.dst
+        |  WHERE f.rn = 1 AND l.rn > 1),
+        |sme AS (SELECT v, fsrc AS src, lsrc AS dst,
+        |    CAST(COUNT(*) AS BIGINT) AS attr, 'set_modify' AS type
+        |  FROM smp GROUP BY v, fsrc, lsrc),
+        |vs AS (SELECT v, cv, MIN(src) AS src FROM sa GROUP BY v, cv),
+        |tg AS (SELECT v, mid AS url FROM h1
+        |  UNION SELECT v, dst FROM h2),
+        |su AS (SELECT s.v, s.src, t.url AS dst,
+        |    CAST(COUNT(*) AS BIGINT) AS attr, 'set_url' AS type
+        |  FROM vs s JOIN tg t ON t.v = s.v
+        |  WHERE t.url LIKE '%' || s.cv || '%'
+        |  GROUP BY s.v, s.src, t.url),
+        |gu AS (SELECT c1.v, c1.src, c2.dst,
+        |    CAST(COUNT(*) AS BIGINT) AS attr, 'get_url' AS type
+        |  FROM h1 c1 JOIN h2 c2 ON c2.v = c1.v AND c2.mid = c1.mid
+        |    AND c2.yv = c1.xv
+        |  GROUP BY c1.v, c1.src, c2.dst)
+        |SELECT v AS visit_id, src, dst, attr, type FROM sge
+        |UNION ALL SELECT v, src, dst, attr, type FROM sme
+        |UNION ALL SELECT v, src, dst, attr, type FROM su
+        |UNION ALL SELECT v, src, dst, attr, type FROM gu""".stripMargin)),
+
     // WG3: A1 node consolidation (graph_builder.py:26-65) — type priority
     // resolution Script>Document>Element>Request, single-type passthrough
     // (Storage survives), attr resolved to the single distinct value else

@@ -67,6 +67,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(full.count() === 8L)
   }
 
+  test("pageRankTrigger: incremental maintenance — overlapping batches " +
+    "append only deltas, restart recovers, ranks match batch PageRank") {
+    implicit val sqlCtx = spark.sqlContext
+    val edgePath = Files.createTempDirectory("graft_prtrig2_edges").toString
+    def ckpt() = Files.createTempDirectory("graft_prtrig2_ckpt").toString
+    val base = new Timestamp(1700000000000L)
+    val mk = (s: String, d: String) => graft.model.Link(s, d, base)
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+
+    val b1 = (0 until 5).map(i => mk(s"p$i", s"p${i + 1}")) :+ mk("p0", "hub")
+    // batch 2 OVERLAPS batch 1 (3 dupes) + adds 2 new edges
+    val b2 = Seq(mk("p0", "p1"), mk("p2", "p3"), mk("p0", "hub"),
+      mk("p3", "hub"), mk("p5", "hub"))
+
+    val mem1 = MemoryStream[graft.model.Link]
+    mem1.addData(b1)
+    EdgeStream.pageRankTrigger(mem1.toDS(), edgePath, ckpt(), numPartitions = 4) {
+      (id, ranks, steps) => results += ((id, steps, ranks.count()))
+    }.start().awaitTermination(120000)
+
+    // separate query, FRESH checkpoint, same table: exercises the restart
+    // path — one-time recovery read of the accumulated table, then the
+    // anti-join guard keeps the overlapping rows out of the append
+    val mem2 = MemoryStream[graft.model.Link]
+    mem2.addData(b2)
+    EdgeStream.pageRankTrigger(mem2.toDS(), edgePath, ckpt(), numPartitions = 4) {
+      (id, ranks, steps) => results += ((id, steps, ranks.count()))
+    }.start().awaitTermination(120000)
+
+    assert(results.size >= 2)
+    // delta-only appends: the on-disk table holds exactly the distinct
+    // edges (8), NOT 11 = |b1| + |b2| — overlapping rows never re-appended
+    val disk = spark.read.parquet(edgePath)
+    assert(disk.count() === 8L, "accumulated table must be duplicate-free")
+    assert(disk.dropDuplicates("src_id", "dst_id").count() === 8L)
+
+    // converged ranks equal a cold batch PageRank over the full edge set
+    val full = (b1 ++ b2).map(l => (l.src, l.dst)).distinct.toDF("src", "dst")
+      .select(xxhash64(col("src")).as("src"), xxhash64(col("dst")).as("dst"))
+    val batchRanks = graft.algo.PageRank.run(full,
+        graft.algo.PageRank.Params(tol = 1e-6, numPartitions = 4))
+      .state.collect().map(r => r.getLong(0) -> r.getAs[Double]("rank")).toMap
+    val mem3 = MemoryStream[graft.model.Link]
+    mem3.addData(Seq(mk("p0", "p1"))) // no-op delta (already known)
+    var streamRanks = Map.empty[Long, Double]
+    EdgeStream.pageRankTrigger(mem3.toDS(), edgePath, ckpt(), numPartitions = 4) {
+      (_, ranks, _) =>
+        streamRanks = ranks.collect()
+          .map(r => r.getLong(0) -> r.getAs[Double]("rank")).toMap
+    }.start().awaitTermination(120000)
+    assert(streamRanks.keySet === batchRanks.keySet)
+    streamRanks.foreach { case (id, r) =>
+      assert(math.abs(r - batchRanks(id)) < 1e-4, s"rank mismatch for $id")
+    }
+  }
+
   test("PageRank warm start: immediate on unchanged graph, fewer steps " +
     "after a small edge delta") {
     val g0 = ((0L until 5L).map(i => (i, i + 1)) ++ Seq((0L, 99L), (3L, 99L)))
