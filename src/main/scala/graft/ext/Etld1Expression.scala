@@ -63,7 +63,7 @@ object Etld1Expression {
   * `spark.sql("SELECT etld1(url) …")` plans them codegen'd. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.etld1Descriptor)
+    GraftExtensions.all.foreach(ext.injectFunction)
   }
 }
 
@@ -76,9 +76,43 @@ object GraftExtensions {
       Etld1Expression(children.head)
     })
 
-  /** Late registration on an already-built session (tests, notebooks). */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = etld1Descriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  private[ext] val urlFeatsDescriptor = (
+    new FunctionIdentifier("url_feats"),
+    new ExpressionInfo(classOf[UrlFeatsExpression].getName, "url_feats"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "url_feats takes (url, domain)")
+      UrlFeatsExpression(children.head, children(1))
+    })
+
+  private[ext] def unary(name: String, cls: Class[_],
+      build: Expression => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, s"$name takes exactly one argument")
+      build(children.head)
+    })
+
+  private[ext] val cookieDescriptors = Seq(
+    (new FunctionIdentifier("js_cookie_pairs"),
+      new ExpressionInfo(classOf[JsCookiePairsExpression].getName,
+        "js_cookie_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "js_cookie_pairs takes (value, operation)")
+        JsCookiePairsExpression(children.head, children(1)): Expression
+      }),
+    unary("cookie_get_triples", classOf[CookieGetTriplesExpression],
+      CookieGetTriplesExpression(_)),
+    unary("cookie_set_triples", classOf[CookieSetTriplesExpression],
+      CookieSetTriplesExpression(_)))
+
+  private[ext] def all = Seq(etld1Descriptor, urlFeatsDescriptor) ++
+    cookieDescriptors
+
+  /** Late registration on an already-built session (tests, notebooks,
+    * construction entry points). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
 }

@@ -88,10 +88,11 @@ object ContentFeatures {
 
   private val adSize = "\\d{2,4}[xX]\\d{2,4}".r
 
-  // returns a fixed Array[Int] (position = urlFeatNames index): a
-  // case-class-returning UDF trips Spark's struct-serializer codegen into
-  // the interpreter fallback; a primitive array stays codegen'd
-  private val urlFeatsUdf = udf { (url: String, domain: String) =>
+  /** The 13 URL features as a fixed Array[Int] (position = urlFeatNames
+    * index) — the row-hot kernel behind [[graft.ext.UrlFeatsExpression]]
+    * (native codegen'd Expression; the former UDF path is gone — a UDF
+    * pays ScalaUDF invocation + converter cost per row, ROUND_NOTES r2 #3). */
+  def urlFeats(url: String, domain: String): Array[Int] = {
     val (query, params) = urlQueryParams(url)
     val qk = qsKeys(query); val pk = qsKeys(params)
     val (kraw, kchar) = keywordFlags(url)
@@ -154,8 +155,13 @@ object ContentFeatures {
     val urlCols = urlFeatNames.zipWithIndex.map { case (nm, i) =>
       element_at(col("uf"), i + 1).as(nm)
     }
+    // native expression (graft.ext.UrlFeatsExpression) via the session
+    // function registry — SparkSessionExtensions is the sanctioned way to
+    // plan a custom Expression. Empty string and null produce identical
+    // features, so coalesce keeps the nullSafe codegen path.
+    graft.ext.GraftExtensions.register(nodes.sparkSession)
     nodes
-      .withColumn("uf", urlFeatsUdf(col("name"), col("domain")))
+      .withColumn("uf", expr("url_feats(coalesce(name, ''), coalesce(domain, ''))"))
       .select(head ++ urlCols: _*)
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.extract.TextExtract
 import graft.model.{Edge, Link, Page, Vertex}
-import graft.norm.{Etld1, UrlNorm}
+import graft.norm.UrlNorm
 
 /** pages → links → deduplicated, id-hashed edge Dataset + vertex dictionary.
   *
@@ -61,11 +61,12 @@ object EdgeBuilder {
   def vertices(links: Dataset[Link]): Dataset[Vertex] = {
     val spark = links.sparkSession
     import spark.implicits._
-    val etld1 = udf((u: String) => Etld1.ofUrl(u))
+    graft.ext.GraftExtensions.register(spark)
     links.select($"src".as("url"))
       .union(links.select($"dst".as("url")))
       .distinct()
-      .select(xxhash64($"url").as("id"), $"url", etld1($"url").as("domain"))
+      .select(xxhash64($"url").as("id"), $"url",
+        call_function("etld1", $"url").as("domain"))
       .as[Vertex]
   }
 

@@ -90,4 +90,38 @@ object CookieParse {
   /** Cookie request header: "a=1; b=2" → [(name, value)…]. */
   def parseCookieHeader(header: String): Seq[(String, String)] =
     jsGet(header).filter(_._1.nonEmpty)
+
+  /** OpenWPM header JSON `[["name","value"],…]` → values for one
+    * (case-sensitive) header name. Shared by the native cookie
+    * expressions ([[graft.ext.CookieExpressions]]); a structural scan, not
+    * a full JSON parse — runs only on cookie-bearing edges. */
+  def headerValues(headersJson: String, name: String): Seq[String] = {
+    if (headersJson == null || headersJson.isEmpty) return Seq.empty
+    val re = "\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\]".r
+    re.findAllMatchIn(headersJson).collect {
+      case m if m.group(1) == name =>
+        m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")
+          .replace("\\n", "\n")
+    }.toSeq
+  }
+
+  /** attr JSON for a `get` cookie edge (http_storage_edges.py:30-36) —
+    * escaping via [[graft.core.Json]] so quoted values survive the
+    * round trip into get_json_object. */
+  def getCookieJson(n: String, v: String): String = {
+    val J = graft.core.Json
+    s"""{"name":${J.str(n)},"value":${J.str(v)}}"""
+  }
+
+  /** attr JSON for a `set` cookie edge (all parsed RFC-6265 attributes). */
+  def setCookieJson(c: HttpCookie): String = {
+    val J = graft.core.Json
+    val opt = (k: String, o: Option[String]) =>
+      s""""$k":${o.map(J.str).getOrElse("null")}"""
+    s"""{"name":${J.str(c.name)},"value":${J.str(c.value)},""" +
+      s"""${opt("expires", c.expires)},${opt("path", c.path)},""" +
+      s"""${opt("domain", c.domain)},${opt("max_age", c.max_age)},""" +
+      s""""httponly":${c.httponly},"secure":${c.secure},""" +
+      s"""${opt("samesite", c.samesite)}}"""
+  }
 }

@@ -4,15 +4,15 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.norm.Etld1
-
 /** Per-site graph assembly: cookie setters (A2/J5), node consolidation
   * (A1), party flags (F15), and the unified nodes+edges table the reference
   * writes as graph.csv (SURVEY.md §1.1, §3 E1 steps run.py:146-165).
+  * eTLD+1 plans as the native codegen'd `etld1` expression (graft.ext).
   */
 object GraphAssembly {
 
-  private val etld1 = udf((u: String) => Etld1.ofUrl(u))
+  private def etld1(c: org.apache.spark.sql.Column) =
+    call_function("etld1", c)
 
   /** A2 + quirk §2.11.1: per (visit_id, cookie) "original setter" — the
     * reference sorts time_stamp DESCENDING and takes the first row, so the
@@ -84,6 +84,7 @@ object GraphAssembly {
                    redirects: Dataset[HttpRedirect],
                    callstacks: Dataset[CallStack],
                    js: Dataset[JsCall]): (DataFrame, DataFrame) = {
+    graft.ext.GraftExtensions.register(requests.sparkSession)
     val (httpNodes, httpEdges) = RequestGraph.build(requests, responses,
       redirects, callstacks)
     val (htmlNodes, htmlEdges) = HtmlGraph.build(js)

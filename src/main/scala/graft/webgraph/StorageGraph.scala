@@ -3,7 +3,7 @@ package graft.webgraph
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.norm.Etld1
+import graft.ext.GraftExtensions
 
 /** JS storage (localStorage + document.cookie) graph construction
   * (reference: /root/reference/code/graph/storage_edges.py — SURVEY.md
@@ -11,16 +11,21 @@ import graft.norm.Etld1
   *
   * Cookie keys are `name|$$|eTLD+1(document_url)` (+"|$$|LS" for
   * localStorage) — graft.norm.Etld1 stands in for tldextract
-  * (/root/reference/code/graph/utils.py:6-21).
+  * (/root/reference/code/graph/utils.py:6-21). eTLD+1 and the cookie-payload
+  * parse plan as native codegen'd expressions (graft.ext); the call-stack
+  * hop generator stays a Scala UDF deliberately — it is the engine's
+  * showcase UDTF-style explode (SURVEY.md §2.9).
   */
 object StorageGraph {
 
-  private val etld1 = udf((u: String) => Etld1.ofUrl(u))
+  private def etld1(c: org.apache.spark.sql.Column) =
+    call_function("etld1", c)
 
   /** localStorage accesses: symbol contains "Storage." (P4); name from
     * arguments JSON [name, value]; action from the Storage.(get|set|remove)
     * Item symbol (F7). */
   def localStorage(js: Dataset[JsCall]): (DataFrame, DataFrame) = {
+    GraftExtensions.register(js.sparkSession)
     val rows = js.toDF()
       .where(col("symbol").contains("Storage."))
       .withColumn("sname", get_json_object(col("arguments"), "$[0]"))
@@ -52,11 +57,7 @@ object StorageGraph {
   def jsCookies(js: Dataset[JsCall]): (DataFrame, DataFrame) = {
     val spark = js.sparkSession
     import spark.implicits._
-
-    val parse = udf { (value: String, operation: String) =>
-      if (operation != null && operation.startsWith("set")) CookieParse.jsSet(value)
-      else CookieParse.jsGet(value)
-    }
+    GraftExtensions.register(spark)
 
     // stack frames: "fn@url:line:col" → url (split on [@;], rsplit ':' ×2)
     val stackGen = udf { (cs: String, cookieName: String, cookieVal: String,
@@ -104,7 +105,8 @@ object StorageGraph {
 
     val rows = js.toDF()
       .where(col("symbol") === "window.document.cookie")
-      .withColumn("nv", explode(parse(col("value"), col("operation"))))
+      .withColumn("nv", explode(call_function("js_cookie_pairs",
+        coalesce(col("value"), lit("")), coalesce(col("operation"), lit("")))))
       .withColumn("e", explode(stackGen(col("call_stack"), col("nv._1"),
         col("nv._2"), col("operation"), col("time_stamp"))))
       .select(col("visit_id"), col("document_url"), col("top_level_url"),

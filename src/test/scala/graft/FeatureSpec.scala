@@ -144,6 +144,30 @@ class FeatureSpec extends AnyFunSuite {
     assert(c.getAs[Int]("ad_size_in_qs_present") === 1)
     assert(c.getAs[Int]("keyword_char_present") === 1)
     assert(c.getAs[Int]("num_url_queries") === 2)
+
+    // promotion check (ROUND_NOTES r2 #3 / VERDICT r2 #5): the URL feature
+    // kernel plans as the native url_feats Expression — no ScalaUDF node,
+    // and the project stays inside WholeStageCodegen. Input must NOT be a
+    // LocalRelation (the optimizer would constant-fold the whole projection
+    // away — which is itself only possible because there is no UDF).
+    val big = spark.range(4).select(
+      lit(1L).as("visit_id"),
+      concat(lit("http://ads.example/track?uid="), col("id")).as("name"),
+      lit("Request").as("type"), lit("{}").as("attr"),
+      lit("ads.example").as("domain"), lit("site.example").as("top_level_domain"))
+    val plan = ContentFeatures.content(big).queryExecution.executedPlan
+    assert(!plan.toString.contains("UDF"), "urlFeats must not plan as a UDF")
+    // the Project carrying url_feats must be starred — `*(n)` marks an
+    // operator INSIDE a WholeStageCodegen span in executedPlan.toString
+    val ufLine = plan.toString.linesIterator.find(_.contains("url_feats("))
+    assert(ufLine.isDefined, "native expression missing from the plan")
+    assert(ufLine.get.contains("*("), s"codegen lost: ${ufLine.get.trim}")
+    // the SQL registration path plans the same expression
+    graft.ext.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT url_feats('http://a.example/?z=1&bid=2', 'a.example') AS uf")
+      .collect()(0).getSeq[Int](0)
+    assert(viaSql(11) === 1 && viaSql(12) === 1) // keyword raw + char
   }
 
   test("feature matrix joins layers over classifiable nodes; labelling") {

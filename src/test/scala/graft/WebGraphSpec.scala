@@ -121,6 +121,76 @@ class WebGraphSpec extends AnyFunSuite {
     assert(nodes.collect().forall(_.getAs[String]("type") === "Storage"))
   }
 
+  test("cookie parsers plan as native expressions (no ScalaUDF)") {
+    // promotion check (VERDICT r2 #5): the HTTP-cookie construction —
+    // header scan, cookie parse, attr-JSON build, eTLD+1 — adds no UDF.
+    // Synthetic inputs keep upstream RequestGraph (whose call-stack explode
+    // is the deliberate §2.9 UDTF showcase) out of the plan tree.
+    import spark.implicits._
+    // range-derived headers: non-foldable, so the optimizer can't evaluate
+    // the pure expressions at plan time (which it otherwise would — itself
+    // proof there is no UDF)
+    val httpEdges = spark.range(1).select(
+      lit(1L).as("visit_id"), lit("http://site-a.example/").as("src"),
+      lit("http://cdn.example/x").as("dst"),
+      concat(lit("[[\"Cookie\",\"uid="), col("id"), lit("\"]]")).as("reqattr"),
+      concat(lit("[[\"Set-Cookie\",\"t="), col("id"), lit("; Secure\"]]"))
+        .as("respattr"),
+      lit("200").as("response_status"), lit("ts1").as("time_stamp"),
+      lit("N/A").as("action"))
+    val httpNodes = Seq((1L, "http://cdn.example/x", "http://site-a.example/"))
+      .toDF("visit_id", "name", "top_level_url")
+    val (_, edges) = HttpCookieGraph.build(httpEdges, httpNodes)
+    val plan = edges.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), "HttpCookieGraph must plan UDF-free")
+    assert(plan.contains("cookie_get_triples(") &&
+      plan.contains("cookie_set_triples("))
+    // etld1(literal url) constant-folds away — which only a non-UDF can
+    assert(edges.count() === 2) // one get + one set survive end-to-end
+    // localStorage path: etld1 over a non-local column plans natively —
+    // range-derived again, since a LocalRelation is pre-evaluated wholesale
+    val jsBig = spark.range(2).select(
+      lit(1L).as("visit_id"), lit("http://s.example/a.js").as("script_url"),
+      lit("1").as("script_line"), lit("").as("script_loc_eval"),
+      lit("http://site-a.example/").as("top_level_url"),
+      concat(lit("http://site"), col("id"), lit(".example/")).as("document_url"),
+      lit("window.Storage.setItem").as("symbol"), lit("").as("call_stack"),
+      lit("set").as("operation"), lit("""["k","v"]""").as("arguments"),
+      lit("").as("attributes"), lit("v").as("value"),
+      lit("ts").as("time_stamp")).as[graft.webgraph.JsCall]
+    val (lsNodes, lsEdges) = StorageGraph.localStorage(jsBig)
+    val lsPlan = lsNodes.queryExecution.executedPlan.toString
+    assert(!lsPlan.contains("UDF") && lsPlan.contains("etld1("))
+    assert(!lsEdges.queryExecution.executedPlan.toString.contains("UDF"))
+    // expression ↔ kernel equivalence on adversarial payloads (quotes,
+    // backslashes, multi-cookie headers, flag attrs, '=' in values)
+    graft.ext.GraftExtensions.register(spark)
+    val hdr = """[["Cookie","a=1; b=x\"y; c"],["X","z"],["Cookie","d=e=f"]]"""
+    val gets = spark.sql(
+      s"""SELECT explode(cookie_get_triples('${hdr.replace("\\", "\\\\").replace("'", "''")}')) AS t""")
+      .select("t._1", "t._3").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gets.keySet === Set("a", "b", "c", "d"))
+    assert(gets("b") === graft.webgraph.CookieParse.getCookieJson("b", "x\"y"))
+    assert(gets("d").contains("\"value\":\"e=f\""))
+    val sc = """[["Set-Cookie","t=1; Path=/; Secure; SameSite=None"]]"""
+    val sets = spark.sql(
+      s"SELECT explode(cookie_set_triples('$sc')) AS t").select("t._3")
+      .collect().map(_.getString(0))
+    assert(sets.length === 1 && sets(0).contains("\"secure\":true") &&
+      sets(0).contains("\"samesite\":\"None\"") &&
+      sets(0).contains("\"path\":\"/\""))
+    val js2 = spark.sql(
+      "SELECT js_cookie_pairs('n=v; Max-Age=3; HttpOnly', 'set') AS p," +
+        " js_cookie_pairs('a=1; b=2', 'get') AS g").collect()(0)
+    val setPair = js2.getSeq[org.apache.spark.sql.Row](0)
+    assert(setPair.length === 1 && setPair(0).getString(0) === "n" &&
+      setPair(0).getString(1) ===
+        graft.webgraph.CookieParse.jsSet("n=v; Max-Age=3; HttpOnly")(0)._2)
+    assert(js2.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)) ===
+      Seq("a", "b"))
+  }
+
   test("latest-setter quirk: the SECOND set of sid wins in parity mode") {
     val (_, storEdges) = StorageGraph.build(js)
     val setters = GraphAssembly.originalSetters(
