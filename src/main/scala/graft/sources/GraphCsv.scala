@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 /** graph.csv interchange with the reference (SURVEY.md §2.1 S5): the
@@ -31,4 +32,23 @@ object GraphCsv {
   def write(df: DataFrame, path: String): Unit =
     df.write.option("header", "true").option("escape", "\"")
       .mode("overwrite").csv(path)
+
+  /** The 23-column union view the reference writes (nodes + edges with the
+    * graph_attr discriminator, graph_builder.py); engine columns absent
+    * from the schema are padded null. */
+  def unified(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val cols = schema.fieldNames
+    def pad(df: DataFrame) = cols.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast("string")))
+    pad(nodes).select(cols.map(col): _*)
+      .unionByName(pad(edges).select(cols.map(col): _*))
+  }
+
+  /** Inverse of [[unified]] for re-ingestion (run_extraction.py:253): split
+    * on graph_attr and project back to the caller's column sets. */
+  def split(df: DataFrame, nodeCols: Seq[String],
+            edgeCols: Seq[String]): (DataFrame, DataFrame) = (
+    df.where(col("graph_attr") === "Node").select(nodeCols.map(col): _*),
+    df.where(col("graph_attr") === "Edge").select(edgeCols.map(col): _*))
 }

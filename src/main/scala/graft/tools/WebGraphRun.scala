@@ -84,17 +84,8 @@ object WebGraphRun {
     val n = spark.read.parquet(s"$out/graph_nodes")
     val e = spark.read.parquet(s"$out/graph_edges")
 
-    if (flag(args, "csv")) {
-      // 23-column union view (nodes + edges, graph_attr discriminator)
-      val cols = GraphCsv.schema.fieldNames
-      def pad(df: DataFrame) = cols.foldLeft(df)((d, c) =>
-        if (d.columns.contains(c)) d
-        else d.withColumn(c, lit(null).cast("string")))
-      GraphCsv.write(
-        pad(n).select(cols.map(col): _*)
-          .unionByName(pad(e).select(cols.map(col): _*)),
-        s"$out/graph_csv")
-    }
+    if (flag(args, "csv"))
+      GraphCsv.write(GraphCsv.unified(n, e), s"$out/graph_csv")
 
     // ---- E1 tail: feature matrix ---------------------------------------
     val feats = FeatureExtraction.features(n, e, content)

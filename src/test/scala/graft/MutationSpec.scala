@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.features.FeatureExtraction
-import graft.robustness.Mutation
+import graft.robustness.{GreedyMutation, Mutation}
 import graft.webgraph._
 
 /** Mutation harness: URL obfuscation preserves topology-derived features
@@ -56,6 +56,68 @@ class MutationSpec extends AnyFunSuite {
     val d = Mutation.featureDiff(before, after).collect()(0)
     assert(d.getAs[Long]("f1") === 0L)
     assert(d.getAs[Long]("f2") === 1L)
+  }
+
+  test("greedy mutation driver: argmax candidate chosen, deterministic") {
+    // E4 (greedy_mutation.py:302-314): the loop under test is candidate
+    // generation → score → argmax → state advance. The feature function is
+    // pluggable; a cheap degree/lexical matrix keeps the test fast — the
+    // full FeatureExtraction path is covered by its own oracles/specs and
+    // plugs in via the default parameter.
+    def cheapFeats(n: org.apache.spark.sql.DataFrame,
+                   e: org.apache.spark.sql.DataFrame,
+                   c: Option[org.apache.spark.sql.DataFrame]) = {
+      val outd = e.groupBy(col("src").as("name")).agg(count("*").as("outd"))
+      val ind = e.groupBy(col("dst").as("name")).agg(count("*").as("ind"))
+      n.select(col("visit_id"), col("name"))
+        .join(outd, Seq("name"), "left").join(ind, Seq("name"), "left")
+        .na.fill(0, Seq("outd", "ind"))
+        .withColumn("name_len", length(col("name")).cast("double"))
+        .withColumn("kw", (col("name").contains("pixel") ||
+          col("name").contains("tracker")).cast("double"))
+    }
+    val rules = graft.features.Adblock.parseList(Seq(
+      "||tracker.example^", "/pixel"))
+    val labels = graft.features.Adblock.labelNodes(nodes, Seq(rules))
+      .where(col("label").isNotNull)
+    // one positive among six rows: bootstrap resampling would drop it from
+    // most trees — train a deterministic full-feature forest instead
+    val labelled = graft.classification.Classify.join(
+      cheapFeats(nodes, edges, None), labels)
+    val featCols = Array("outd", "ind", "name_len", "kw")
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(featCols).setOutputCol("fv").setHandleInvalid("keep")
+      .transform(labelled.na.fill(0))
+    val model = new org.apache.spark.ml.classification.RandomForestClassifier()
+      .setNumTrees(5).setLabelCol("label").setFeaturesCol("fv")
+      .setBootstrap(false).setFeatureSubsetStrategy("all").setSeed(7L)
+      .fit(assembled)
+    val predictor = GreedyMutation.Predictor(model, featCols)
+
+    def go() = GreedyMutation.run(nodes, edges, predictor,
+      iterations = 2, parentLimit = 1, featureFn = cheapFeats)
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.size
+    val r = go()
+    assert(r.trajectory.nonEmpty, "fixture must yield an adversary + moves")
+    r.trajectory.foreach { it =>
+      assert(it.evaluated.nonEmpty)
+      // greedy invariant: the chosen candidate has the max diff
+      assert(it.diff === it.evaluated.map(_.diff).max)
+      assert(it.evaluated.exists(_.tag == it.chosen))
+    }
+    // iterations advance the graph state (chosen mutation applied)
+    val origNodes = nodes.count(); val origEdges = edges.count()
+    assert(r.nodes.count() >= origNodes)
+    assert(r.nodes.count() + r.edges.count() !=
+      origNodes + origEdges ||
+      r.trajectory.forall(_.chosen.contains("obfuscate")))
+    // determinism: a second run yields the identical trajectory
+    assert(go().trajectory === r.trajectory)
+    // scratch hygiene: candidate feature scratch is released per score —
+    // two full runs may only retain baseline + final-generation blocks
+    // (bounded), never one block-set per candidate evaluated
+    assert(spark.sparkContext.getPersistentRDDs.size <= blocksBefore + 16)
+    graft.QueryUtil.releaseScratch(spark)
   }
 
   test("structural mutations feed straight back into extraction") {

@@ -207,6 +207,30 @@ class WebGraphSpec extends AnyFunSuite {
     assert(earliest(0).getAs[String]("setter") === "http://tracker.example/core.js")
   }
 
+  test("graph.csv round trip: re-ingested graph yields identical features") {
+    // S4/S5 interchange parity (run_extraction.py:253): export the unified
+    // graph as the 23-column graph.csv, re-ingest, and prove the feature
+    // matrix is unchanged — not just the schema shape
+    import graft.sources.GraphCsv
+    val (nodes, edges) = GraphAssembly.unifiedGraph(req, resp, red, cs, js)
+    val n0 = nodes.localCheckpoint(true); val e0 = edges.localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    GraphCsv.write(GraphCsv.unified(n0, e0), dir)
+    val (n1, e1) = GraphCsv.split(GraphCsv.read(spark, dir),
+      n0.columns.toSeq, e0.columns.toSeq)
+    // row-level parity of the graph tables themselves
+    assert(n1.count() === n0.count() && e1.count() === e0.count())
+    assert(n1.exceptAll(n0).count() === 0 && n0.exceptAll(n1).count() === 0)
+    // feature-matrix parity end-to-end
+    val f0 = graft.features.FeatureExtraction.features(n0, e0)
+    val f1 = graft.features.FeatureExtraction.features(n1, e1)
+    assert(f1.count() === f0.count())
+    val d = graft.robustness.Mutation.featureDiff(f0, f1).collect()(0)
+    val changed = d.schema.fieldNames.filter(c => d.getAs[Long](c) != 0L)
+    assert(changed.isEmpty, s"features drifted through csv: ${changed.mkString(",")}")
+    graft.QueryUtil.releaseScratch(spark)
+  }
+
   test("unified graph: consolidation resolves type by priority, flags party") {
     val (nodes, edges) = GraphAssembly.unifiedGraph(req, resp, red, cs, js)
     assert(nodes.groupBy("name").count().where(col("count") > 1).count() === 0,
