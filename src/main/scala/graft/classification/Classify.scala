@@ -82,4 +82,44 @@ object Classify {
   def importances(model: RandomForestClassificationModel,
                   featCols: Array[String]): Seq[(String, Double)] =
     featCols.zip(model.featureImportances.toArray).sortBy(-_._2).toSeq
+
+  // ---- S8: model persistence (classify_with_model.py) ---------------------
+  // The reference persists the trained forest with joblib and re-applies it
+  // to freshly-extracted features; spark.ml's native writer is the engine
+  // equivalent, plus the feature-column manifest (the part joblib pickles
+  // implicitly) so predict-time assembly matches train-time assembly.
+
+  /** Persist a trained model + its feature-column manifest. */
+  def saveModel(model: RandomForestClassificationModel,
+                featCols: Array[String], path: String): Unit = {
+    model.write.overwrite().save(s"$path/model")
+    val json = featCols.map(graft.core.Json.str).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/feature_columns.json"), json)
+  }
+
+  /** Load a persisted model + manifest. */
+  def loadModel(path: String): (RandomForestClassificationModel, Array[String]) = {
+    val model = RandomForestClassificationModel.load(s"$path/model")
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/feature_columns.json"))
+    val cols = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .toArray
+    (model, cols)
+  }
+
+  /** Apply a (possibly reloaded) model to a feature matrix —
+    * classify_with_model.py's predict path. Returns
+    * (visit_id, name, pred, prob_pos). */
+  def predict(model: RandomForestClassificationModel,
+              featCols: Array[String], features: DataFrame): DataFrame = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featCols).setOutputCol("fv").setHandleInvalid("keep")
+      .transform(features.na.fill(0))
+    val getP = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    model.transform(assembled)
+      .select(col("visit_id"), col("name"), col("prediction").as("pred"),
+        getP(col("probability")).as("prob_pos"))
+  }
 }

@@ -19,6 +19,9 @@ import graft.webgraph._
   *     [--content <parquet>]  (content_hash, body) script store (S3)
   *     [--filterlist <file>]  Adblock-Plus rules, one per line (labelling)
   *     --out <dir>            [--partitions N] [--csv] [--classify]
+  *     [--model-out <dir>]    persist trained model + feature manifest (S8)
+  *     [--model <dir>]        apply a saved model to this crawl's features
+  *                            (classify_with_model.py) → predictions/
   *
   * Stages written under --out:
   *   graph_nodes/ graph_edges/   the unified property graph (parquet IR —
@@ -108,6 +111,10 @@ object WebGraphRun {
           l.where(col("label").isNotNull)) // "Error" rows drop, as reference
         val (folds, model, featCols) = Classify.crossValidate(joined,
           k = arg(args, "folds").map(_.toInt).getOrElse(10))
+        // S8: persist the trained forest + feature manifest (--model-out)
+        arg(args, "model-out").foreach { dir =>
+          if (model != null) Classify.saveModel(model, featCols, dir)
+        }
         // every fold needs non-empty train AND test visits — a crawl with
         // too few visits yields no usable folds (and no model)
         val imp =
@@ -126,6 +133,15 @@ object WebGraphRun {
           "classification: no usable folds (need >= 2 visits with labels)")
       case None =>
         System.err.println("--classify requires --filterlist (labels)")
+    }
+
+    // ---- S8 predict path (classify_with_model.py): a previously saved
+    // model applied to this crawl's freshly-extracted features ------------
+    arg(args, "model").foreach { dir =>
+      val (model, featCols) = Classify.loadModel(dir)
+      Classify.predict(model, featCols,
+          spark.read.parquet(s"$out/features"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/predictions")
     }
 
     println(s"webgraph pipeline complete -> $out " +

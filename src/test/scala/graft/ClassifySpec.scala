@@ -42,6 +42,28 @@ class ClassifySpec extends AnyFunSuite {
     assert(imp.head._1 === "f1", s"importances: $imp")
   }
 
+  test("model persistence round trip: saved model predicts identically (S8)") {
+    val joined = Classify.join(
+      labelled.drop("label"),
+      labelled.select(col("visit_id"), col("name"), col("label")))
+    val (_, model, featCols) = Classify.crossValidate(joined, k = 5,
+      numTrees = 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    Classify.saveModel(model, featCols, dir)
+    val (model2, featCols2) = Classify.loadModel(dir)
+    assert(featCols2.toSeq === featCols.toSeq)
+    val before = Classify.predict(model, featCols, labelled.drop("label"))
+    val after = Classify.predict(model2, featCols2, labelled.drop("label"))
+    assert(before.count() === 800)
+    assert(before.exceptAll(after).count() === 0 &&
+      after.exceptAll(before).count() === 0)
+    // the reloaded forest reproduces the separable signal
+    val acc = after.join(labelled.select(col("visit_id"), col("name"),
+        col("label").cast("double").as("y")), Seq("visit_id", "name"))
+      .where(col("pred") === col("y")).count()
+    assert(acc >= 780, s"reloaded model accuracy dropped: $acc/800")
+  }
+
   test("folds partition rows by visit (no visit straddles train/test)") {
     // fold id is visit_id % k by construction — verify the property the
     // reference enforces by sampling visit ids per fold
