@@ -106,8 +106,23 @@ object GraftExtensions {
     unary("cookie_set_triples", classOf[CookieSetTriplesExpression],
       CookieSetTriplesExpression(_)))
 
+  private[ext] val probeDescriptors = Seq(
+    unary("cookie_value_probes", classOf[CookieValueProbesExpression],
+      CookieValueProbesExpression(_)),
+    unary("cookie_header_probes", classOf[CookieHeaderProbesExpression],
+      CookieHeaderProbesExpression(_)),
+    (new FunctionIdentifier("contains_any"),
+      new ExpressionInfo(classOf[ContainsAnyExpression].getName,
+        "contains_any"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "contains_any takes (dest, probes)")
+        ContainsAnyExpression(children.head, children(1)): Expression
+      }),
+    unary("rolling_fp", classOf[RollingFpExpression],
+      RollingFpExpression(_)))
+
   private[ext] def all = Seq(etld1Descriptor, urlFeatsDescriptor) ++
-    cookieDescriptors
+    cookieDescriptors ++ probeDescriptors
 
   /** Late registration on an already-built session (tests, notebooks,
     * construction entry points). Idempotent. */

@@ -43,7 +43,10 @@ object IndirectEdges {
   private val partialSplit =
     "[.;\\]!@#$%^&*()\\-_+~`{}\\[\\\\|:\"'<>,?/]+"
 
-  /** value-in-url predicate family (utils.py:283-368). */
+  /** value-in-url predicate family (utils.py:283-368). Reference kernel —
+    * the joins plan [[valueProbes]] + `contains_any` instead (probe
+    * derivation hoisted out of the pair loop); IndirectEdgesSpec pins the
+    * two paths equal. */
   def cookieValueInUrl(value: String, dest: String): Boolean = {
     if (value == null || dest == null) return false
     val full = value.length > 3 && dest.contains(value)
@@ -55,12 +58,14 @@ object IndirectEdges {
     full || partial || b || m || s
   }
 
+  private val headerPairRe =
+    "\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\]".r
+
   /** Cookie-header values (list tail after first '=') in url
-    * (utils.py:370-392). */
+    * (utils.py:370-392). Reference kernel for [[headerProbes]] parity. */
   def cookiePresence(reqattrJson: String, dest: String): Boolean = {
     if (reqattrJson == null || dest == null) return false
-    val re = "\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\]".r
-    re.findAllMatchIn(reqattrJson).exists { mm =>
+    headerPairRe.findAllMatchIn(reqattrJson).exists { mm =>
       mm.group(1).contains("Cookie") && {
         val hv = mm.group(2).replace("\\\"", "\"")
         hv.split(";").exists { pair =>
@@ -73,12 +78,47 @@ object IndirectEdges {
     }
   }
 
+  /** Probe strings whose existential substring match reproduces
+    * [[cookieValueInUrl]]: the value itself + its b64/md5/sha1 digests
+    * (len > 3 gate) and the len > 3 delimiter-split parts. Computing these
+    * ONCE per value moves the digest work out of the J9/J10 theta joins —
+    * O(values) instead of O(values × urls) digests at corpus scale. */
+  def valueProbes(value: String): Array[String] = {
+    if (value == null) return Array.empty
+    val out = new java.util.LinkedHashSet[String]
+    if (value.length > 3) {
+      out.add(value); out.add(b64(value))
+      out.add(md5hex(value)); out.add(sha1hex(value))
+    }
+    value.split(partialSplit).foreach(p => if (p.length > 3) out.add(p))
+    out.toArray(Array.empty[String])
+  }
+
+  /** Union of [[valueProbes]] over every Cookie-header value segment of a
+    * request-headers JSON payload — `probes.exists(dest.contains)` ≡
+    * [[cookiePresence]](reqattr, dest). */
+  def headerProbes(reqattrJson: String): Array[String] = {
+    if (reqattrJson == null) return Array.empty
+    val out = new java.util.LinkedHashSet[String]
+    headerPairRe.findAllMatchIn(reqattrJson).foreach { mm =>
+      if (mm.group(1).contains("Cookie")) {
+        val hv = mm.group(2).replace("\\\"", "\"")
+        hv.split(";").foreach { pair =>
+          pair.trim.split("=").drop(1)
+            .foreach(v => valueProbes(v).foreach(out.add))
+        }
+      }
+    }
+    out.toArray(Array.empty[String])
+  }
+
   private val setActions = Seq("set", "set_js", "set_storage_js")
   private val getActions = Seq("get", "get_js", "get_storage_js")
 
   /** All four indirect-edge families, unioned:
     * (visit_id, src, dst, attr = multiplicity, type). */
   def build(edges: DataFrame): DataFrame = {
+    graft.ext.GraftExtensions.register(edges.sparkSession)
     val sets = edges.where(col("action").isin(setActions: _*))
       .select(col("visit_id"), col("src"), col("dst"), col("attr"),
         col("time_stamp"))
@@ -113,21 +153,22 @@ object IndirectEdges {
       .agg(count(lit(1)).as("attr"))
       .withColumn("type", lit("set_modify"))
 
-    // J9 set → URL: distinct cookie values × URL-ish nodes, UDF predicate
-    val inUrl = udf((v: String, d: String) => cookieValueInUrl(v, d))
+    // J9 set → URL: distinct cookie values × URL-ish nodes; probe strings
+    // (value + digests + splits) derived ONCE per value, join predicate is
+    // a bare codegen'd contains_any — no per-pair digest work
     val cookieSets = edges.where(col("action").isin("set", "set_js"))
       .select(col("visit_id"), col("src"),
         get_json_object(col("attr"), "$.value").as("cv"))
       .where(col("cv").isNotNull && length(col("cv")) > 3)
     val valueSrc = cookieSets.groupBy(col("visit_id"), col("cv"))
       .agg(min(col("src")).as("src")) // deterministic "first" setter
+      .withColumn("probes", call_function("cookie_value_probes", col("cv")))
     setGet.unionByName(setModify)
-      .unionByName(setUrl(edges, valueSrc, inUrl))
+      .unionByName(setUrl(edges, valueSrc))
       .unionByName(getUrl(edges))
   }
 
-  private def setUrl(edges: DataFrame, valueSrc: DataFrame,
-                     inUrl: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
+  private def setUrl(edges: DataFrame, valueSrc: DataFrame): DataFrame = {
     // URL-node side: Request/Script/Document names from the node table are
     // not in `edges`; approximate with distinct http-ish dsts (callers with
     // a node table should pass GraphAssembly nodes through urlTargets).
@@ -135,11 +176,12 @@ object IndirectEdges {
       .where(col("reqattr").isNotNull && col("reqattr") =!= "CS" &&
         col("reqattr") =!= "N/A")
       .select(col("visit_id"), col("dst").as("url")).distinct()
-    // Broadcast the SMALL side: distinct len>3 cookie values (reference
-    // design note SURVEY §2.3 J9). `targets` is every distinct HTTP URL —
-    // the corpus-scale fact side — and must stream, never broadcast.
+    // Broadcast the SMALL side: distinct len>3 cookie values + their probes
+    // (reference design note SURVEY §2.3 J9). `targets` is every distinct
+    // HTTP URL — the corpus-scale fact side — and must stream, never
+    // broadcast.
     broadcast(valueSrc).join(targets, Seq("visit_id"))
-      .where(inUrl(col("cv"), col("url")))
+      .where(call_function("contains_any", col("url"), col("probes")))
       .select(col("visit_id"), col("src"), col("url").as("dst"))
       .groupBy(col("visit_id"), col("src"), col("dst"))
       .agg(count(lit(1)).as("attr"))
@@ -191,12 +233,16 @@ object IndirectEdges {
   private def getUrl(edges: DataFrame): DataFrame = {
     val http = edges.where(col("reqattr") =!= "CS" && col("src") =!= "N/A" &&
       col("action") =!= "CS")
-    val present = udf((r: String, d: String) => cookiePresence(r, d))
+    // probe extraction (header JSON parse + digests) runs once per first-hop
+    // row BEFORE the self-join; rows with no Cookie values drop out of the
+    // join's left side entirely (present ≡ false for them), and the per-pair
+    // predicate is substring containment only
     http.select(col("visit_id"), col("src").as("src_x"), col("dst").as("mid"),
-        col("reqattr").as("reqattr_x"))
+        call_function("cookie_header_probes", col("reqattr")).as("probes"))
+      .where(size(col("probes")) > 0)
       .join(http.select(col("visit_id"), col("src").as("mid"),
         col("dst").as("dst_y")), Seq("visit_id", "mid"))
-      .where(col("reqattr_x").isNotNull && present(col("reqattr_x"), col("dst_y")))
+      .where(call_function("contains_any", col("dst_y"), col("probes")))
       .select(col("visit_id"), col("src_x").as("src"), col("dst_y").as("dst"))
       .groupBy(col("visit_id"), col("src"), col("dst"))
       .agg(count(lit(1)).as("attr"))

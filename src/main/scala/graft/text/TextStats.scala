@@ -100,21 +100,24 @@ object TextStats {
   def fingerprintMd5(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Scalar kernel of [[rollingFp]] (shared with the native expression's
+    * eval and generated code); null → 0L. */
+  def rollingFp64(s: String): Long = {
+    if (s == null) 0L
+    else {
+      val t = s.toLowerCase.replaceAll("\\s+", " ")
+      var h = 1469598103934665603L
+      var i = 0
+      while (i < t.length) { h = h * 1000003L + t.charAt(i); i += 1 }
+      h
+    }
+  }
+
   /** 64-bit polynomial rolling hash (Karp–Rabin, base 1000003) of the
     * normalized text — the document-fingerprint primitive used where an
     * 8-byte key must replace a 16-byte digest (shuffle-key-size matters at
-    * 10^12 rows). Not SQL-mirrorable; covered by ScalaTest instead. */
-  def rollingFp(text: Column): Column = {
-    val f = udf { (s: String) =>
-      if (s == null) 0L
-      else {
-        val t = s.toLowerCase.replaceAll("\\s+", " ")
-        var h = 1469598103934665603L
-        var i = 0
-        while (i < t.length) { h = h * 1000003L + t.charAt(i); i += 1 }
-        h
-      }
-    }
-    f(text)
-  }
+    * 10^12 rows). Plans the native codegen'd `rolling_fp` expression
+    * (requires [[graft.ext.GraftExtensions]] on the session — every engine
+    * entry point registers it). Not SQL-mirrorable; covered by ScalaTest. */
+  def rollingFp(text: Column): Column = call_function("rolling_fp", text)
 }

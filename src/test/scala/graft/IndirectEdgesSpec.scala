@@ -97,4 +97,73 @@ class IndirectEdgesSpec extends AnyFunSuite {
     assert(!IndirectEdges.cookiePresence(
       """[["Accept","longvalue123"]]""", "http://x/?v=longvalue123"))
   }
+
+  // deterministic probe corpus spanning every predicate branch: raw
+  // containment, delimiter-split partials, b64/md5/sha1 digests, the
+  // len<=3 gate, null/empty inputs, multi-pair cookie headers
+  private def b64(s: String) = java.util.Base64.getEncoder
+    .encodeToString(s.getBytes("UTF-8"))
+  private def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+    .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def sha1(s: String) = java.security.MessageDigest.getInstance("SHA-1")
+    .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val probeValues: Seq[String] = Seq(
+    "abcd1234", "ab", "abc", "abcd", "ab.cdefgh", "x-y_z!longpart",
+    "a;b;c;d", "partone.parttwo", "sess=inner", "", "zzzz9999")
+  private val probeDests: Seq[String] = probeValues.flatMap(v => Seq(
+    s"http://x/?q=$v", s"http://x/?q=${b64(v)}", s"http://x/?q=${md5(v)}",
+    s"http://x/?q=${sha1(v)}", s"http://x/p/${v.take(4)}",
+    "http://x/plain", s"http://x/?q=cdefgh&r=longpart"))
+
+  test("cookie_value_probes + contains_any ≡ cookieValueInUrl (hoisted " +
+    "probe parity over the branch corpus)") {
+    val pairs = for (v <- probeValues; d <- probeDests) yield (v, d)
+    val df = pairs.toDF("cv", "url")
+      .withColumn("fast", call_function("contains_any", col("url"),
+        call_function("cookie_value_probes", col("cv"))))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      r.getBoolean(2)).toMap
+    for ((v, d) <- pairs)
+      assert(got((v, d)) === IndirectEdges.cookieValueInUrl(v, d),
+        s"parity broke for value=$v dest=$d")
+    assert(pairs.count { case (v, d) => IndirectEdges.cookieValueInUrl(v, d) } > 20)
+  }
+
+  test("cookie_header_probes + contains_any ≡ cookiePresence") {
+    val headers = Seq(
+      """[["Cookie","uid=abcd1234"]]""",
+      """[["Cookie","uid=abcd1234; sid=zzzz9999"]]""",
+      """[["Cookie","short=ab"],["Accept","*"]]""",
+      """[["Set-Cookie-Not","uid=abcd1234"]]""",
+      """[["Cookie","noequals"]]""",
+      """[["Cookie","k=ab.cdefgh"]]""",
+      """[["Accept","*"]]""", "", "[]")
+    val pairs = for (h <- headers; d <- probeDests) yield (h, d)
+    val df = pairs.toDF("reqattr", "url")
+      .withColumn("fast", call_function("contains_any", col("url"),
+        call_function("cookie_header_probes", col("reqattr"))))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      r.getBoolean(2)).toMap
+    for ((h, d) <- pairs)
+      assert(got((h, d)) === IndirectEdges.cookiePresence(h, d),
+        s"parity broke for reqattr=$h dest=$d")
+    assert(pairs.count { case (h, d) => IndirectEdges.cookiePresence(h, d) } > 5)
+  }
+
+  test("indirect-edge construction plans no ScalaUDF (probe expressions " +
+    "native)") {
+    // range-derived inputs: non-foldable, so nothing constant-folds away
+    val edges = spark.range(20).select(
+      lit(1L).as("visit_id"),
+      concat(lit("http://s"), col("id") % 4, lit(".x/a.js")).as("src"),
+      concat(lit("url|$$|k"), col("id") % 3).as("dst"),
+      when(col("id") % 2 === 0, "set_js").otherwise("get_js").as("action"),
+      concat(lit("""{"value":"val"""), col("id"), lit("\"}")).as("attr"),
+      concat(lit("""[["Cookie","u=longvalue"""), col("id"), lit("\"]]"))
+        .as("reqattr"),
+      col("id").cast("string").as("time_stamp"))
+    val plan = IndirectEdges.build(edges).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), "indirect build fell back to a UDF")
+  }
 }

@@ -96,7 +96,8 @@ class MutationSpec extends AnyFunSuite {
 
     def go() = GreedyMutation.run(nodes, edges, predictor,
       iterations = 2, parentLimit = 1, featureFn = cheapFeats)
-    val blocksBefore = spark.sparkContext.getPersistentRDDs.size
+    val idsBefore = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val blocksBefore = idsBefore.size
     val r = go()
     assert(r.trajectory.nonEmpty, "fixture must yield an adversary + moves")
     r.trajectory.foreach { it =>
@@ -117,7 +118,12 @@ class MutationSpec extends AnyFunSuite {
     // two full runs may only retain baseline + final-generation blocks
     // (bounded), never one block-set per candidate evaluated
     assert(spark.sparkContext.getPersistentRDDs.size <= blocksBefore + 16)
-    graft.QueryUtil.releaseScratch(spark)
+    // release only what the greedy runs created — a blanket releaseScratch
+    // here would also drop this suite's fixture checkpoints (nodes/edges),
+    // whose truncated lineage the next test still reads
+    spark.sparkContext.getPersistentRDDs
+      .filter(kv => !idsBefore(kv._1)).values
+      .foreach(_.unpersist(blocking = false))
   }
 
   test("structural mutations feed straight back into extraction") {
