@@ -70,29 +70,53 @@ object Scaling {
       PageRank.Params(tol = 0.0, maxIter = 3, numPartitions = 16))
     gen.stop()
 
-    def measure(cores: Int): Double = {
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+
+    // per-rep walls + ambient load + process cpu per config: a contended
+    // box (the BENCH_r02 artifact class) is visible in the artifact itself
+    // as load ≫ the job's own cores or wall ≫ cpu/cores
+    def measure(cores: Int): (Seq[Double], Seq[Double], Seq[Double]) = {
       val s = session(cores)
       val edges = s.read.parquet(path)
-      val best = (1 to reps).map { _ =>
+      val cpuBean = java.lang.management.ManagementFactory.getThreadMXBean
+      val walls = Seq.newBuilder[Double]
+      val loads = Seq.newBuilder[Double]
+      val cpus = Seq.newBuilder[Double]
+      (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
+        val c0 = processCpuNanos
         PageRank.run(edges, PageRank.Params(tol = 0.0, maxIter = steps,
             numPartitions = cores),
           Some(graft.algo.Superstep.Config(cores, steps, tol = 0.0,
             fixedStep = true)))
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        walls += (System.nanoTime() - t0) / 1e9
+        cpus += (processCpuNanos - c0) / 1e9
+        loads += osBean.getSystemLoadAverage
+      }
       s.stop()
-      best
+      (walls.result(), loads.result(), cpus.result())
     }
 
-    val secN = measure(nCores)
-    val sec4N = measure(4 * nCores)
+    def processCpuNanos: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => 0L
+    }
+
+    def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+
+    val (wallsN, loadsN, cpusN) = measure(nCores)
+    val (walls4N, loads4N, cpus4N) = measure(4 * nCores)
+    val secN = wallsN.min
+    val sec4N = walls4N.min
     val tputN = nEdges.toDouble * steps / secN
     val tput4N = nEdges.toDouble * steps / sec4N
     val eff = tput4N / (4.0 * tputN)
     println(f"""{"edges":$nEdges,"steps":$steps,""" +
       f""""n_cores":$nCores,"sec_n":$secN%.2f,"tput_n":$tputN%.0f,""" +
       f""""n4_cores":${4 * nCores},"sec_4n":$sec4N%.2f,"tput_4n":$tput4N%.0f,""" +
-      f""""efficiency":$eff%.3f}""")
+      f""""efficiency":$eff%.3f,""" +
+      s""""reps_n":${fmt(wallsN)},"reps_4n":${fmt(walls4N)},""" +
+      s""""cpu_n":${fmt(cpusN)},"cpu_4n":${fmt(cpus4N)},""" +
+      s""""load_n":${fmt(loadsN)},"load_4n":${fmt(loads4N)}}""")
   }
 }
