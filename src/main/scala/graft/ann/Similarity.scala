@@ -95,9 +95,16 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       rhpSignature(col(vecCol), nBits).as("sig"))
     // multi-probe: every XOR mask of hamming weight ≤ probeBits — true
-    // probeBits-adjacent buckets (Σ C(nBits,i) masks), not just 1-bit flips
+    // probeBits-adjacent buckets (Σ C(nBits,i) masks), not just 1-bit flips.
+    // The mask count is combinatorial in probeBits (C(32,8) ≈ 10.5M would
+    // OOM the driver building the literal array and explode the probe side
+    // 10M× per probe) — cap it so a mis-dialed call fails loudly instead
     val masks: Seq[Long] = 0L +: (1 to probeBits).flatMap(w =>
       (0 until nBits).combinations(w).map(_.map(1L << _).reduce(_ | _)).toSeq)
+    require(masks.size <= 4096,
+      s"lshKnn multi-probe would search ${masks.size} buckets per probe " +
+        s"(nBits=$nBits, probeBits=$probeBits); cap is 4096 — lower " +
+        "probeBits or nBits, or raise nProbe on the IVF path instead")
     val probeSigs = array(masks.map(lit): _*)
     val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         rhpSignature(col(vecCol), nBits).as("psig"))

@@ -31,15 +31,13 @@ object GreedyMutation {
     * stands in for the reference's joblib-loaded clf. */
   final case class Predictor(model: RandomForestClassificationModel,
                              featCols: Array[String]) {
-    /** features → (visit_id, name, pred: Double). */
-    def predict(features: DataFrame): DataFrame = {
-      val assembled = new VectorAssembler()
-        .setInputCols(featCols).setOutputCol("fv").setHandleInvalid("keep")
-        .transform(features.na.fill(0))
-      model.transform(assembled)
-        .select(col("visit_id"), col("name"),
-          col("prediction").as("pred"))
-    }
+    /** features → (visit_id, name, pred: Double). Delegates to
+      * [[graft.classification.Classify.predict]] so the assemble/fill
+      * contract cannot diverge between evasion scoring and the
+      * classification pipeline. */
+    def predict(features: DataFrame): DataFrame =
+      graft.classification.Classify.predict(model, featCols, features)
+        .select(col("visit_id"), col("name"), col("pred"))
   }
 
   /** Fit a forest on a labelled feature matrix (J11 output). The reference
@@ -109,7 +107,7 @@ object GreedyMutation {
     * Script/Request child under an adversary parent. */
   private def addNodeCandidate(spark: org.apache.spark.sql.SparkSession,
       nodes: DataFrame, edges: DataFrame, parent: AdvNode, tag: String)
-      : (DataFrame, DataFrame, String) = {
+      : (DataFrame, DataFrame, String, String) = {
     import spark.implicits._
     val vid = parent.visitId
     val tlu = parent.tlu
@@ -131,7 +129,7 @@ object GreedyMutation {
       .toDF("visit_id", "src", "dst", "top_level_url", "attr", "reqattr",
         "respattr", "response_status", "time_stamp", "action")
     (nodes.unionByName(newNode, allowMissingColumns = true),
-      Mutation.addEdges(edges, newEdge), name)
+      Mutation.addEdges(edges, newEdge), name, childType)
   }
 
   /** storage_removal candidates (mutate_styles.py:96-106): `set`/`set_js`
@@ -162,10 +160,14 @@ object GreedyMutation {
         }
         candidate.withColumn("name", m)
       }
+    // joined rows carry ORIGINAL names (backMapped) — adversary membership
+    // must be tested against original names too, or a previously-chosen
+    // obfuscation makes its node invisible to desired-flip counting
+    val advOrig = adv.map(a => renames.getOrElse(a, a)).distinct
     val joined = base.withColumnRenamed("pred", "pred_base")
       .join(backMapped.withColumnRenamed("pred", "pred_new"),
         Seq("visit_id", "name"))
-      .withColumn("is_adv", col("name").isin(adv: _*))
+      .withColumn("is_adv", col("name").isin(advOrig: _*))
     val agg = joined.agg(
       sum(when(col("is_adv") && col("pred_base") === 1.0 &&
         col("pred_new") === 0.0, 1L).otherwise(0L)),
@@ -218,13 +220,17 @@ object GreedyMutation {
         .take(parentLimit)
 
       // ---- candidates --------------------------------------------------
+      // the Option carries (child name, child type, parent) so a chosen
+      // addition is recorded in the PARENT's visit/top-level-url — a later
+      // iteration sampling the child as a parent must mutate that visit
       var cands = Seq.empty[(String, DataFrame, DataFrame,
-        Map[String, String], Option[String])]
+        Map[String, String], Option[(String, String, AdvNode)])]
       if (styles("node_addition")) cands ++= parents.zipWithIndex.map {
         case (p, i) =>
           val tag = s"${ct}_${i}_add_node"
-          val (n2, e2, child) = addNodeCandidate(spark, nodes, edges, p, tag)
-          (tag, n2, e2, Map.empty[String, String], Some(child))
+          val (n2, e2, child, ctype) =
+            addNodeCandidate(spark, nodes, edges, p, tag)
+          (tag, n2, e2, Map.empty[String, String], Some((child, ctype, p)))
       }
       if (styles("storage_removal"))
         cands ++= storageEdgeKeys(nodes, edges, adv).take(parentLimit)
@@ -273,10 +279,9 @@ object GreedyMutation {
             if (r.name == old || renames.get(r.name).contains(old))
               r.copy(name = nu) else r)
         }
-        child.foreach { c =>
+        child.foreach { case (c, ctype, parent) =>
           adv :+= c
-          advRows :+= AdvNode(advRows.head.visitId, c, "Request",
-            advRows.head.tlu)
+          advRows :+= AdvNode(parent.visitId, c, ctype, parent.tlu)
         }
         trajectory += IterationResult(ct, scored, best.tag, best.diff)
       }

@@ -107,13 +107,22 @@ object EdgeStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (known.isEmpty) {
           // restart recovery: ONE read of the accumulated table (re-deduped
-          // in case a crashed run left an uncommitted replay append)
-          try {
+          // in case a crashed run left an uncommitted replay append).
+          // Existence is probed explicitly — a transient READ failure on an
+          // existing table must fail the batch (and be retried), not be
+          // silently mistaken for a fresh start. "Exists" means the dir
+          // holds at least one parquet part (an empty dir is a fresh start,
+          // not an unreadable table)
+          val hPath = new org.apache.hadoop.fs.Path(path)
+          val fs = hPath.getFileSystem(sc.hadoopConfiguration)
+          val hasTable = fs.exists(hPath) &&
+            fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
+          if (hasTable) {
             val (base, ids) = ckpt(spark.read.parquet(path)
               .dropDuplicates("src_id", "dst_id")
               .repartition(numPartitions, col("src_id"), col("dst_id")))
             known = Some(base); knownIds ++= ids
-          } catch { case _: Throwable => () } // no table yet: fresh start
+          } // else: no table yet, fresh start
         }
         // anti-join the (already stream-deduped) batch against the known
         // set: a no-op on the steady path, it guards the recovery/restart

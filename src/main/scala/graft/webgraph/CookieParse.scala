@@ -95,10 +95,15 @@ object CookieParse {
     * (case-sensitive) header name. Shared by the native cookie
     * expressions ([[graft.ext.CookieExpressions]]); a structural scan, not
     * a full JSON parse — runs only on cookie-bearing edges. */
+  // compiled once — headerValues runs 3× per cookie-bearing row on the
+  // promoted native-expression hot path; per-call Pattern.compile would
+  // dwarf the saved ScalaUDF overhead
+  private val headerPairRe =
+    "\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\]".r
+
   def headerValues(headersJson: String, name: String): Seq[String] = {
     if (headersJson == null || headersJson.isEmpty) return Seq.empty
-    val re = "\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\]".r
-    re.findAllMatchIn(headersJson).collect {
+    headerPairRe.findAllMatchIn(headersJson).collect {
       case m if m.group(1) == name =>
         m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")
           .replace("\\n", "\n")

@@ -126,6 +126,19 @@ class MutationSpec extends AnyFunSuite {
       .foreach(_.unpersist(blocking = false))
   }
 
+  test("score counts flips on a previously-renamed adversary node") {
+    // after a chosen url_obfuscation old->nu, adv holds the NEW name while
+    // joined rows carry back-mapped ORIGINAL names — a True->False flip on
+    // that node must still count as desired
+    val base = Seq((1L, "old", 1.0), (1L, "other", 0.0))
+      .toDF("visit_id", "name", "pred")
+    val cand = Seq((1L, "nu", 0.0), (1L, "other", 0.0))
+      .toDF("visit_id", "name", "pred")
+    val s = GreedyMutation.score(base, cand, adv = Seq("nu"),
+      renames = Map("nu" -> "old"), tag = "t")
+    assert(s.desired === 1L && s.undesired === 0L)
+  }
+
   test("structural mutations feed straight back into extraction") {
     val extra = Seq((FixtureCrawl.V, "http://site-a.example/",
       "http://new.example/x", "http://site-a.example/", "N/A"))
