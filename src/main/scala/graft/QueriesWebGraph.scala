@@ -113,7 +113,7 @@ object QueriesWebGraph {
     * independently oracled end-to-end by wg4 — so the composition oracle
     * isolates what ONLY the composition adds: the 4-family union, setter
     * attach (A2/J5), consolidation (A1), party flags (F15) and domains. */
-  private def wg7Tables(s: SparkSession, dir: String) = {
+  def wg7Tables(s: SparkSession, dir: String) = {
     import org.apache.spark.sql.Column
     implicit val sp = s
     import s.implicits._

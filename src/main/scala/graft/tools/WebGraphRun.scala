@@ -16,6 +16,9 @@ import graft.webgraph._
   *     [--crawl <dir>]        parquet tables http_requests / http_responses /
   *                            http_redirects / callstacks / javascript
   *                            (omitted → the deterministic FixtureCrawl)
+  *     [--events <sfdir>]     alternative source: derive the OpenWPM tables
+  *                            from an events.parquet testdata dir (the wg7
+  *                            oracle derivation) — the soak/benchmark path
   *     [--content <parquet>]  (content_hash, body) script store (S3)
   *     [--filterlist <file>]  Adblock-Plus rules, one per line (labelling)
   *     --out <dir>            [--partitions N] [--csv] [--classify]
@@ -62,14 +65,18 @@ object WebGraphRun {
 
     // ---- sources (S1/S2 shape: explicit-schema parquet scans) ----------
     val (requests, responses, redirects, callstacks, js) =
-      arg(args, "crawl") match {
-        case Some(dir) => (
+      (arg(args, "crawl"), arg(args, "events")) match {
+        case (Some(dir), _) => (
           spark.read.parquet(s"$dir/http_requests").as[HttpRequest],
           spark.read.parquet(s"$dir/http_responses").as[HttpResponse],
           spark.read.parquet(s"$dir/http_redirects").as[HttpRedirect],
           spark.read.parquet(s"$dir/callstacks").as[CallStack],
           spark.read.parquet(s"$dir/javascript").as[JsCall])
-        case None => (
+        case (None, Some(sfDir)) =>
+          val (req, resp, jsc) = graft.QueriesWebGraph.wg7Tables(spark, sfDir)
+          (req, resp, spark.emptyDataset[HttpRedirect],
+            spark.emptyDataset[CallStack], jsc)
+        case _ => (
           FixtureCrawl.requests(spark), FixtureCrawl.responses(spark),
           FixtureCrawl.redirects(spark), FixtureCrawl.callstacks(spark),
           FixtureCrawl.jsCalls(spark))
