@@ -154,8 +154,8 @@ object QueriesFeatures {
         |sm AS (SELECT DISTINCT f.visit_id, f.src AS a, l.src AS b, f.dst
         |  FROM rn f JOIN rn l ON f.visit_id = l.visit_id AND f.dst = l.dst
         |  WHERE f.rn = 1 AND l.rn > 1),
-        |sme AS (SELECT visit_id, a AS src, b AS dst, CAST(COUNT(*) AS BIGINT) AS attr,
-        |    'set_modify' AS type FROM sm GROUP BY visit_id, a, b),
+        |sme AS (SELECT visit_id, a AS src, b AS dst, CAST(1 AS BIGINT) AS attr,
+        |    'set_modify' AS type FROM sm),
         |ind AS (SELECT * FROM sge UNION ALL SELECT * FROM sme),
         |oc AS (SELECT visit_id, src AS name,
         |    CAST(SUM(CASE WHEN type = 'set_get' THEN 1 ELSE 0 END) AS BIGINT) AS num_set_get_src,
@@ -236,8 +236,7 @@ object QueriesFeatures {
         |  FROM rk f JOIN rk l ON l.v = f.v AND l.dst = f.dst
         |  WHERE f.rn = 1 AND l.rn > 1),
         |sme AS (SELECT v, fsrc AS src, lsrc AS dst,
-        |    CAST(COUNT(*) AS BIGINT) AS attr, 'set_modify' AS type
-        |  FROM smp GROUP BY v, fsrc, lsrc),
+        |    CAST(1 AS BIGINT) AS attr, 'set_modify' AS type FROM smp),
         |vs AS (SELECT v, cv, MIN(src) AS src FROM sa GROUP BY v, cv),
         |tg AS (SELECT v, mid AS url FROM h1
         |  UNION SELECT v, dst FROM h2),

@@ -72,11 +72,12 @@ object AdditionalFeatures {
         sum(when(hasVal && col("c_httponly") === "true", 1L).otherwise(0L))
           .as("num_httponly"),
         // cookie domain minus its leading '.' vs the node's site
-        // (additional.py:139-143); null TLD ⇒ no count (reference throws
-        // and skips the increment)
+        // (additional.py:139-143). The reference throws (and skips) only
+        // when the node lacks the attribute KEY; a NaN top_level_domain
+        // compares unequal to any string and INCREMENTS — null-safe
+        // inequality, so null TLD counts as different
         sum(when(hasVal && col("c_domain").isNotNull &&
-          col("top_level_domain").isNotNull &&
-          expr("substring(c_domain, 2)") =!= col("top_level_domain"), 1L)
+          !(expr("substring(c_domain, 2)") <=> col("top_level_domain")), 1L)
           .otherwise(0L)).as("num_diff_domain"))
       // reference emits the six size stats only when BOTH lists are
       // non-empty (additional.py:147-153); size_name alone stays −1

@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object ContentFeatures {
 
-  private val keywordRaw = Seq("ad", "ads", "advert", "popup", "banner",
+  /** The reference's ad-keyword list (content.py:21-23 — the IDENTICAL
+    * list appears at utils.py:30-32 for the ascendant feature; one shared
+    * constant here serves both sites). The reference matches each entry
+    * with `re.finditer(key, url, re.I)`, i.e. AS A REGEX: "pb.min"'s dot
+    * is a wildcard ("pb8min" matches). */
+  val keywordRaw = Seq("ad", "ads", "advert", "popup", "banner",
     "sponsor", "iframe", "googlead", "adsys", "adser", "advertise",
     "redirect", "popunder", "punder", "popout", "click", "track", "play",
     "pop", "prebid", "bid", "pb.min", "affiliate", "ban", "delivery",
     "promo", "tag", "zoneid", "siteid", "pageid", "size", "viewid",
     "zone_id", "google_afc", "google_afs")
+  private val keywordPatterns = keywordRaw.map(k =>
+    java.util.regex.Pattern.compile(k, java.util.regex.Pattern.CASE_INSENSITIVE))
   private val keywordChar = Set('.', '/', '&', '=', ';', '-', '_', '*', '^',
     '?', '|', ',')
   private val screenRes = Seq("screenheight", "screenwidth", "browserheight",
@@ -63,18 +70,18 @@ object ContentFeatures {
     * delimiter character. */
   def keywordFlags(url: String): (Int, Int) = {
     if (url == null) return (0, 0)
-    val lower = url.toLowerCase
     var raw = 0; var chr = 0
-    val it = keywordRaw.iterator
+    val it = keywordPatterns.iterator
     while (chr == 0 && it.hasNext) {
-      val k = it.next()
-      var from = lower.indexOf(k)
-      while (chr == 0 && from >= 0) {
+      // regex semantics (re.finditer, non-overlapping, case-insensitive) —
+      // "pb.min"'s '.' is a wildcard, exactly as the reference matches
+      val m = it.next().matcher(url)
+      while (chr == 0 && m.find()) {
         raw = 1
+        val from = m.start()
         // python url[m-1]: index -1 wraps to the LAST char (parity quirk)
         val prev = if (from == 0) url.charAt(url.length - 1) else url.charAt(from - 1)
         if (keywordChar.contains(prev)) chr = 1
-        from = lower.indexOf(k, from + 1)
       }
     }
     (raw, chr)
@@ -97,6 +104,7 @@ object ContentFeatures {
     val qk = qsKeys(query); val pk = qsKeys(params)
     val (kraw, kchar) = keywordFlags(url)
     val dom = if (domain == null) "" else domain
+    val ql = query.toLowerCase; val pl = params.toLowerCase
     Array(
       1, // is_valid_qs
       qk.size,
@@ -106,8 +114,7 @@ object ContentFeatures {
       if (dom.nonEmpty && query.contains(dom)) 1 else 0,
       if (query.contains(";")) 1 else 0,
       if (params.contains(";")) 1 else 0,
-      if (screenRes.exists(k => query.toLowerCase.contains(k) ||
-        params.toLowerCase.contains(k))) 1 else 0,
+      if (screenRes.exists(k => ql.contains(k) || pl.contains(k))) 1 else 0,
       if (url != null && adSize.findFirstIn(url).isDefined) 1 else 0,
       if (adSize.findFirstIn(query).isDefined) 1 else 0,
       kraw,
@@ -148,9 +155,12 @@ object ContentFeatures {
       when(col("domain").isNotNull && col("top_level_domain").isNotNull &&
         col("domain") === col("top_level_domain"), 1).otherwise(0)
         .as("is_subdomain"),
-      when(col("domain").isNotNull && col("top_level_domain").isNotNull &&
-        length(col("domain")) > 0 &&
-        col("domain") =!= col("top_level_domain"), 1).otherwise(0)
+      // content.py:51: `len(base_domain) > 0 and base_domain !=
+      // top_level_domain` — a NaN top_level_domain compares UNEQUAL to a
+      // real domain, so null TLD with a non-null domain IS third-party
+      // (null-safe inequality); null domain stays 0
+      when(col("domain").isNotNull && length(col("domain")) > 0 &&
+        !(col("domain") <=> col("top_level_domain")), 1).otherwise(0)
         .as("is_third_party"))
     val urlCols = urlFeatNames.zipWithIndex.map { case (nm, i) =>
       element_at(col("uf"), i + 1).as(nm)

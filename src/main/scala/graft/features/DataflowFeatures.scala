@@ -22,8 +22,17 @@ object DataflowFeatures {
 
   /** G9: max incoming redirect-chain depth per node — iterative
     * depth(dst) = max(depth(src)+1) over the 3xx-status subgraph, to
-    * fixpoint (redirect chains are short; converges in < 10 steps). */
-  def redirectDepths(edges: DataFrame, maxIter: Int = 16): DataFrame = {
+    * fixpoint (redirect chains are short; converges in < 10 steps).
+    *
+    * Termination on redirect CYCLES (a 3xx loop would relax forever): the
+    * longest simple backward path in a visit cannot exceed that visit's
+    * redirect-edge count, so iterations are bounded by the largest
+    * per-visit edge count (one scalar agg). Acyclic graphs converge and
+    * exit early as before; cycle members saturate at the bound — a
+    * documented deviation from the reference's nx.edge_dfs run-length
+    * scan (utils.py:147-186), whose cycle answer is traversal-order
+    * dependent and not reproducible as a distributed fixpoint. */
+  def redirectDepths(edges: DataFrame, maxIter: Int = 64): DataFrame = {
     val red = edges
       .where(expr("try_cast(response_status AS int)").isin(redirectStatuses: _*))
       .select(col("visit_id"), col("src"), col("dst")).distinct()
@@ -31,11 +40,18 @@ object DataflowFeatures {
     val verts = red.select(col("visit_id"), col("src").as("name"))
       .union(red.select(col("visit_id"), col("dst").as("name"))).distinct()
 
+    val bound = red.groupBy(col("visit_id")).count()
+      .agg(max(col("count"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val effectiveMax = math.min(maxIter.toLong, bound)
+
     var depth = verts.withColumn("depth", lit(0L)).persist()
     depth.count()
     var changed = true
     var i = 0
-    while (changed && i < maxIter) {
+    while (changed && i < effectiveMax) {
       i += 1
       val relaxed = red
         .join(depth.select(col("visit_id"), col("name").as("src"),

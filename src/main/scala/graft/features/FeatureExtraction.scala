@@ -67,8 +67,13 @@ object FeatureExtraction {
     val d = DataflowFeatures.dataflow(e)
     val c = ContentFeatures.content(n)
 
-    // indirect edge IR, built once and shared by counts/weights/metrics
-    val ind = IndirectEdges.build(e).localCheckpoint(true)
+    // indirect edge IR, built once and shared by counts/weights/metrics;
+    // set_url targets are the reference's Request/Script/Document node
+    // names (utils.py:444-448), not the edge-derived approximation
+    val urlTargets = n
+      .where(col("type").isin("Request", "Script", "Document"))
+      .select(col("visit_id"), col("name").as("url"))
+    val ind = IndirectEdges.build(e, Some(urlTargets)).localCheckpoint(true)
     val indCounts = IndirectEdges.counts(ind)
     val indWeights = IndirectEdges.weights(ind)
     // nx.compose(G, G_indirect) (dataflow.py:302) = union of edge sets.

@@ -72,18 +72,15 @@ object GraphMetrics {
     known
   }
 
-  private val adKeywords = Seq("ad", "ads", "advert", "popup", "banner",
-    "sponsor", "iframe", "googlead", "adsys", "adser", "advertise",
-    "redirect", "popunder", "punder", "popout", "click", "track", "play",
-    "pop", "prebid", "bid", "pb.min", "affiliate", "ban", "delivery",
-    "promo", "tag", "zoneid", "siteid", "pageid", "size", "viewid",
-    "zone_id", "google_afc", "google_afs")
-
-  /** has_ad_keyword (features/utils.py:18-43): any keyword substring,
-    * case-insensitive, on non-Element/Storage nodes. */
+  /** has_ad_keyword (features/utils.py:18-43): any keyword match on
+    * non-Element/Storage nodes. The reference runs `re.finditer(key, url,
+    * re.I)` — REGEX semantics ("pb.min"'s dot is a wildcard) — and the
+    * list is the shared [[ContentFeatures.keywordRaw]] constant (the
+    * reference repeats it verbatim at utils.py:30-32 / content.py:21-23). */
   def hasAdKeyword(name: org.apache.spark.sql.Column,
                    typ: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val hit = adKeywords.map(k => lower(name).contains(k)).reduce(_ || _)
+    val hit = ContentFeatures.keywordRaw
+      .map(k => name.rlike("(?i)" + k)).reduce(_ || _)
     when(typ =!= "Element" && typ =!= "Storage" && hit, 1).otherwise(0)
   }
 

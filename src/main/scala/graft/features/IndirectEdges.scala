@@ -116,8 +116,15 @@ object IndirectEdges {
   private val getActions = Seq("get", "get_js", "get_storage_js")
 
   /** All four indirect-edge families, unioned:
-    * (visit_id, src, dst, attr = multiplicity, type). */
-  def build(edges: DataFrame): DataFrame = {
+    * (visit_id, src, dst, attr = multiplicity, type).
+    *
+    * @param urlTargets optional (visit_id, url) table of set_url match
+    *   targets — the reference scans node-table names of type
+    *   Request/Script/Document (utils.py:444-448); [[FeatureExtraction]]
+    *   passes them. When absent (edge-only callers, the if1/if2 oracle
+    *   queries) targets fall back to distinct reqattr-bearing edge dsts. */
+  def build(edges: DataFrame,
+            urlTargets: Option[DataFrame] = None): DataFrame = {
     graft.ext.GraftExtensions.register(edges.sparkSession)
     val sets = edges.where(col("action").isin(setActions: _*))
       .select(col("visit_id"), col("src"), col("dst"), col("attr"),
@@ -146,11 +153,16 @@ object IndirectEdges {
       .select(col("visit_id"), col("src").as("f_src"), col("dst"))
     val laterSets = ranked.where(col("rn") > 1)
       .select(col("visit_id"), col("src").as("l_src"), col("dst"))
+    // reference quirk (utils.py:81-105 + 433): find_modified_storage
+    // groups per (src, dst) INSIDE each storage-key group and the per-key
+    // frames are concatenated WITHOUT re-grouping — so the output is one
+    // row PER SHARED KEY with attr = 1, not one grouped row per pair
+    // (unlike set_get, whose groupby runs across keys)
     val setModify = firstSet.join(laterSets, Seq("visit_id", "dst"))
       .select(col("visit_id"), col("f_src"), col("l_src"), col("dst"))
       .distinct()
-      .groupBy(col("visit_id"), col("f_src").as("src"), col("l_src").as("dst"))
-      .agg(count(lit(1)).as("attr"))
+      .select(col("visit_id"), col("f_src").as("src"), col("l_src").as("dst"),
+        lit(1L).as("attr"))
       .withColumn("type", lit("set_modify"))
 
     // J9 set → URL: distinct cookie values × URL-ish nodes; probe strings
@@ -164,18 +176,20 @@ object IndirectEdges {
       .agg(min(col("src")).as("src")) // deterministic "first" setter
       .withColumn("probes", call_function("cookie_value_probes", col("cv")))
     setGet.unionByName(setModify)
-      .unionByName(setUrl(edges, valueSrc))
+      .unionByName(setUrl(edges, valueSrc, urlTargets))
       .unionByName(getUrl(edges))
   }
 
-  private def setUrl(edges: DataFrame, valueSrc: DataFrame): DataFrame = {
-    // URL-node side: Request/Script/Document names from the node table are
-    // not in `edges`; approximate with distinct http-ish dsts (callers with
-    // a node table should pass GraphAssembly nodes through urlTargets).
-    val targets = edges
-      .where(col("reqattr").isNotNull && col("reqattr") =!= "CS" &&
-        col("reqattr") =!= "N/A")
-      .select(col("visit_id"), col("dst").as("url")).distinct()
+  private def setUrl(edges: DataFrame, valueSrc: DataFrame,
+                     urlTargets: Option[DataFrame]): DataFrame = {
+    // URL-node side: the reference's Request/Script/Document node names
+    // when the caller supplies them; otherwise distinct reqattr-bearing
+    // edge dsts (the edge-only approximation the oracle queries mirror)
+    val targets = urlTargets.getOrElse(edges
+        .where(col("reqattr").isNotNull && col("reqattr") =!= "CS" &&
+          col("reqattr") =!= "N/A")
+        .select(col("visit_id"), col("dst").as("url")))
+      .select(col("visit_id"), col("url")).distinct()
     // Broadcast the SMALL side: distinct len>3 cookie values + their probes
     // (reference design note SURVEY §2.3 J9). `targets` is every distinct
     // HTTP URL — the corpus-scale fact side — and must stream, never
@@ -231,8 +245,12 @@ object IndirectEdges {
   }
 
   private def getUrl(edges: DataFrame): DataFrame = {
-    val http = edges.where(col("reqattr") =!= "CS" && col("src") =!= "N/A" &&
-      col("action") =!= "CS")
+    // pandas filter parity (utils.py:471): NaN != 'CS' is True, so rows
+    // with null reqattr/src/action stay ELIGIBLE (second hops are often
+    // storage/html edges whose reqattr is null) — null-safe inequality,
+    // not =!= (which drops nulls)
+    val http = edges.where(!(col("reqattr") <=> "CS") &&
+      !(col("src") <=> "N/A") && !(col("action") <=> "CS"))
     // probe extraction (header JSON parse + digests) runs once per first-hop
     // row BEFORE the self-join; rows with no Cookie values drop out of the
     // join's left side entirely (present ≡ false for them), and the per-pair

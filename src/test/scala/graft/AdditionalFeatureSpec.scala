@@ -28,7 +28,11 @@ class AdditionalFeatureSpec extends AnyFunSuite {
       (1L, "S", """{"name":"noval6"}""", "set"), // python partial append:
       // size_name recorded BEFORE the KeyError on the missing value
       (1L, "S", """{"name":"zz","value":"zzzzzz"}""", "get"), // wrong action
-      (1L, "T", """{"name":"only"}""", "set") // value-less ONLY → all −1
+      (1L, "T", """{"name":"only"}""", "set"), // value-less ONLY → all −1
+      // NaN top_level_domain parity (additional.py:139-143): U is absent
+      // from the node table; the reference's NaN TLD compares unequal to
+      // the cookie domain and INCREMENTS num_diff_domain
+      (1L, "U", """{"name":"u","value":"v","domain":".any.example"}""", "set")
     ).toDF("visit_id", "src", "attr", "action")
     val m = AdditionalFeatures.cookieStats(edges, nodes).collect()
       .map(x => x.getAs[String]("name") -> x).toMap
@@ -45,6 +49,7 @@ class AdditionalFeatureSpec extends AnyFunSuite {
     // every size stat unset
     assert(m("T").isNullAt(m("T").fieldIndex("max_size_name")))
     assert(m("T").isNullAt(m("T").fieldIndex("mean_size_val")))
+    assert(m("U").getAs[Long]("num_diff_domain") === 1L) // null TLD counts
   }
 
   test("responseStats: clength stats, zero-drop, null respattr passes") {

@@ -121,6 +121,22 @@ class FeatureSpec extends AnyFunSuite {
     assert(d("u1").getAs[Long]("max_depth_redirect") === 0L)
   }
 
+  test("redirectDepths terminates on redirect cycles with bounded depth") {
+    val e = Seq(
+      (1L, "A", "A", "301"),                      // self-redirect
+      (1L, "B", "C", "302"), (1L, "C", "B", "301"), // 2-cycle
+      (2L, "P", "Q", "301"), (2L, "Q", "R", "302")  // clean chain
+    ).toDF("visit_id", "src", "dst", "response_status")
+    val d = DataflowFeatures.redirectDepths(e).collect()
+      .map(r => (r.getAs[Long]("visit_id"), r.getAs[String]("name")) ->
+        r.getAs[Long]("max_depth_redirect")).toMap
+    // acyclic chain: exact depths, loop exits on convergence
+    assert(d((2L, "P")) === 0L && d((2L, "Q")) === 1L && d((2L, "R")) === 2L)
+    // cycle members saturate at the per-visit edge-count bound (documented
+    // deviation from nx.edge_dfs) — the point is termination, not 16+
+    assert(d((1L, "A")) <= 3L && d((1L, "B")) <= 3L && d((1L, "C")) <= 3L)
+  }
+
   test("content features: urlparse/parse_qs/keyword semantics") {
     val (q, p) = ContentFeatures.urlQueryParams(
       "http://x.example/a/b;pk=1?id_a=1&bid=2&empty=#frag")
@@ -132,6 +148,10 @@ class FeatureSpec extends AnyFunSuite {
     // keyword not preceded by delimiter char ("xbid")
     assert(ContentFeatures.keywordFlags("http://x.example/xbidy") === (1, 0))
     assert(ContentFeatures.keywordFlags("http://zzz.example/qqq") === (0, 0))
+    // re.finditer REGEX semantics: "pb.min"'s '.' is a wildcard — "pb8min"
+    // matches (preceded by '/', so the char flag fires too)
+    assert(ContentFeatures.keywordFlags("http://cdn.x/pb8min.js") === (1, 1))
+    assert(ContentFeatures.keywordFlags("http://cdn.x/xpb8miny") === (1, 0))
 
     val n = Seq((1L, "http://ads.example/track?uid=9&size=728x90", "Request",
       """{"content_policy_type":"image"}""", "ads.example", "site.example"))
@@ -144,6 +164,17 @@ class FeatureSpec extends AnyFunSuite {
     assert(c.getAs[Int]("ad_size_in_qs_present") === 1)
     assert(c.getAs[Int]("keyword_char_present") === 1)
     assert(c.getAs[Int]("num_url_queries") === 2)
+
+    // content.py:51 NaN parity: a real domain with NULL top_level_domain
+    // IS third-party (NaN compares unequal); null domain stays 0
+    val nNull = Seq(
+      (1L, "http://t.com/x", "Request", "{}", "t.com", null),
+      (1L, "http://u.com/y", "Request", "{}", null, "site.com"))
+      .toDF("visit_id", "name", "type", "attr", "domain", "top_level_domain")
+    val byName = ContentFeatures.content(nNull).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Int]("is_third_party")).toMap
+    assert(byName("http://t.com/x") === 1)
+    assert(byName("http://u.com/y") === 0)
 
     // promotion check (ROUND_NOTES r2 #3 / VERDICT r2 #5): the URL feature
     // kernel plans as the native url_feats Expression — no ScalaUDF node,

@@ -89,6 +89,66 @@ class IndirectEdgesSpec extends AnyFunSuite {
     assert(w("R").getAs[Long]("indirect_max_in_weights") === 1L)
   }
 
+  test("set_modify emits one row PER SHARED KEY with attr=1 (reference " +
+    "per-key concat, utils.py:81-105)") {
+    // P first-sets k1 and k2; Q later-sets both. find_modified_storage
+    // groups inside each key group and the frames concatenate without
+    // re-grouping: two (P,Q) rows with attr=1 — NOT one row with attr=2
+    val rows = Seq(
+      (1L, "P", "k1", "set", null, "N/A", "t1"),
+      (1L, "P", "k2", "set", null, "N/A", "t2"),
+      (1L, "Q", "k1", "set", null, "N/A", "t3"),
+      (1L, "Q", "k2", "set", null, "N/A", "t4")
+    ).toDF("visit_id", "src", "dst", "action", "attr", "reqattr", "time_stamp")
+    val ind = IndirectEdges.build(rows)
+    val sm = ind.where(col("type") === "set_modify").collect()
+    assert(sm.length === 2)
+    assert(sm.forall(r => r.getAs[String]("src") === "P" &&
+      r.getAs[String]("dst") === "Q" && r.getAs[Long]("attr") === 1L))
+    val c = IndirectEdges.counts(ind).collect()
+      .map(r => r.getAs[String]("name") -> r).toMap
+    assert(c("P").getAs[Long]("num_set_mod_src") === 2L) // len(rows) = keys
+    val w = IndirectEdges.weights(ind).collect()
+      .map(r => r.getAs[String]("name") -> r).toMap
+    assert(w("P").getAs[Double]("indirect_mean_out_weights") === 1.0)
+    assert(w("P").getAs[Long]("indirect_max_out_weights") === 1L)
+  }
+
+  test("get_url second hop stays eligible with null reqattr/action " +
+    "(pandas NaN != 'CS' filter parity)") {
+    val rows = Seq(
+      (1L, "http://page.x/", "http://t.x/sync", "N/A", null,
+        """[["Cookie","uid=abcd1234"]]""", "t1"),
+      // second hop is a storage/html-style edge: null action AND reqattr —
+      // pandas keeps it (NaN != 'CS'), null-unsafe =!= would drop it
+      (1L, "http://t.x/sync", "http://b.x/p?uid=abcd1234", null, null,
+        null, "t2")
+    ).toDF("visit_id", "src", "dst", "action", "attr", "reqattr", "time_stamp")
+    val gu = IndirectEdges.build(rows).where(col("type") === "get_url")
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dst")))
+    assert(gu.toSet === Set(("http://page.x/", "http://b.x/p?uid=abcd1234")))
+  }
+
+  test("set_url matches node-table targets when provided (Document URLs " +
+    "with no reqattr edge, utils.py:444-448)") {
+    val edges = Seq(
+      (1L, "http://s1.x/a.js", "ck|$$|x", "set_js",
+        """{"value":"abcd1234"}""", "N/A", "t1")
+    ).toDF("visit_id", "src", "dst", "action", "attr", "reqattr", "time_stamp")
+    // a Document node URL embedding the cookie value — never a dst of a
+    // reqattr-bearing edge, so the edge-derived fallback cannot see it
+    val targets = Seq((1L, "http://site.x/?sess=abcd1234"))
+      .toDF("visit_id", "url")
+    val withT = IndirectEdges.build(edges, Some(targets))
+      .where(col("type") === "set_url").collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")))
+    assert(withT.toSet ===
+      Set(("http://s1.x/a.js", "http://site.x/?sess=abcd1234")))
+    val withoutT = IndirectEdges.build(edges)
+      .where(col("type") === "set_url").count()
+    assert(withoutT === 0L) // edge-derived fallback has no targets here
+  }
+
   test("predicates: split-partial and length guard") {
     assert(IndirectEdges.cookieValueInUrl("ab.cdefgh", "http://x/?q=cdefgh"))
     assert(!IndirectEdges.cookieValueInUrl("ab", "http://x/?q=ab")) // len <= 3
