@@ -155,27 +155,56 @@ object Adblock {
     true
   }
 
-  /** should_block: any blocking rule matches (pattern + options) and no
-    * exception rule does. */
-  def shouldBlock(rules: Seq[Rule], url: String, thirdParty: Boolean,
-                  pageDomain: String, reqTypes: Set[String]): Boolean = {
-    if (url == null) return false
-    def hits(r: Rule): Boolean =
-      r.regex.matcher(url).find() &&
-        optionsOk(r, thirdParty, pageDomain, reqTypes)
-    rules.exists(r => !r.exception && hits(r)) &&
-      !rules.exists(r => r.exception && hits(r))
+  /** A rule list pre-compiled for the hot path, adblockparser-style: the
+    * overwhelmingly-common OPTION-FREE rules fold into ONE alternation
+    * Pattern per polarity (adblockparser's `blacklist_re`/`whitelist_re`),
+    * so matching a URL costs two combined-regex scans plus a loop over
+    * only the option-carrying minority — not O(|rules|) regex executions
+    * per node. Semantics unchanged: an option-free rule's hit is exactly
+    * its regex find, and find-of-union ≡ any-find. */
+  final class CompiledRules(rules: Seq[Rule]) extends Serializable {
+    private val (optFree, withOpts) = rules.partition(r =>
+      r.thirdParty.isEmpty && r.typeOpts.isEmpty && r.domains.isEmpty)
+    private def combined(rs: Seq[Rule]): Option[Pattern] =
+      if (rs.isEmpty) None
+      else Some(Pattern.compile(
+        rs.map(r => "(?:" + r.regex.pattern + ")").mkString("|")))
+    private val blockRe = combined(optFree.filterNot(_.exception))
+    private val excRe = combined(optFree.filter(_.exception))
+    private val blockOpt = withOpts.filterNot(_.exception)
+    private val excOpt = withOpts.filter(_.exception)
+
+    def shouldBlock(url: String, thirdParty: Boolean, pageDomain: String,
+                    reqTypes: Set[String]): Boolean = {
+      if (url == null) return false
+      def hits(r: Rule): Boolean =
+        r.regex.matcher(url).find() &&
+          optionsOk(r, thirdParty, pageDomain, reqTypes)
+      (blockRe.exists(_.matcher(url).find()) || blockOpt.exists(hits)) &&
+        !(excRe.exists(_.matcher(url).find()) || excOpt.exists(hits))
+    }
+
+    def nodeBlocked(url: String, pageDomain: String, nodeDomain: String,
+                    resourceType: String): Boolean = {
+      if (pageDomain == null || nodeDomain == null) return false
+      shouldBlock(url, pageDomain != nodeDomain, pageDomain,
+        Adblock.requestTypes(resourceType))
+    }
   }
 
-  /** The reference's per-node option wiring (node_labelling.py:37-91):
-    * third-party = node domain ≠ page eTLD+1; resource-type option set from
-    * the node's content_policy_type; subdocument for sub_frame. */
-  def nodeBlocked(rules: Seq[Rule], url: String, pageDomain: String,
-                  nodeDomain: String, resourceType: String): Boolean = {
-    if (pageDomain == null || nodeDomain == null) return false
-    val thirdParty = pageDomain != nodeDomain
-    val rt = Option(resourceType).getOrElse("")
-    val types: Set[String] = rt match {
+  def compile(rules: Seq[Rule]): CompiledRules = new CompiledRules(rules)
+
+  /** should_block: any blocking rule matches (pattern + options) and no
+    * exception rule does. (Spec-facing convenience — compiles the combined
+    * patterns per call; hot paths hold a [[CompiledRules]].) */
+  def shouldBlock(rules: Seq[Rule], url: String, thirdParty: Boolean,
+                  pageDomain: String, reqTypes: Set[String]): Boolean =
+    new CompiledRules(rules).shouldBlock(url, thirdParty, pageDomain, reqTypes)
+
+  /** Resource type → supplied ABP type-option keys (node_labelling.py
+    * wiring). */
+  private[features] def requestTypes(resourceType: String): Set[String] =
+    Option(resourceType).getOrElse("") match {
       case "script" => Set("script")
       case "image" | "imageset" => Set("image")
       case "stylesheet" => Set("stylesheet")
@@ -183,18 +212,28 @@ object Adblock {
       case "sub_frame" => Set("subdocument")
       case _ => Set.empty
     }
-    shouldBlock(rules, url, thirdParty, pageDomain, types)
-  }
+
+  /** The reference's per-node option wiring (node_labelling.py:37-91):
+    * third-party = node domain ≠ page eTLD+1; resource-type option set from
+    * the node's content_policy_type; subdocument for sub_frame.
+    * (Spec-facing convenience — hot paths hold a [[CompiledRules]].) */
+  def nodeBlocked(rules: Seq[Rule], url: String, pageDomain: String,
+                  nodeDomain: String, resourceType: String): Boolean =
+    new CompiledRules(rules).nodeBlocked(url, pageDomain, nodeDomain,
+      resourceType)
 
   /** Label classifiable nodes against one or more compiled filter lists —
     * label = disjunction across lists (node_labelling.py:113-117); null
-    * label where the reference emits "Error" (missing page/node domain). */
+    * label where the reference emits "Error" (missing page/node domain).
+    * Lists compile ONCE on the driver ([[CompiledRules]]) and ship in the
+    * UDF closure. */
   def labelNodes(nodes: DataFrame, lists: Seq[Seq[Rule]]): DataFrame = {
+    val compiled = lists.map(new CompiledRules(_))
     val blocked = udf((url: String, pageDom: String, nodeDom: String,
                        rt: String) =>
       if (pageDom == null || nodeDom == null) null.asInstanceOf[java.lang.Boolean]
       else java.lang.Boolean.valueOf(
-        lists.exists(rs => nodeBlocked(rs, url, pageDom, nodeDom, rt))))
+        compiled.exists(_.nodeBlocked(url, pageDom, nodeDom, rt))))
     FeatureExtraction.classifiable(nodes)
       .select(col("visit_id"), col("top_level_url"), col("name"),
         blocked(col("name"), col("top_level_domain"), col("domain"),
