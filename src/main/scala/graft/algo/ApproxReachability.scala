@@ -49,16 +49,22 @@ object ApproxReachability {
           e("dst") === col("id"))
         .groupBy(col("src"))
         .agg(expr("hll_union_agg(ssk)").as("merged"))
-      state.select(col("id"), col("sk"), col("est").as("old_est"))
+      state.select(col("id"), col("sk").as("old_sk"))
         .join(fromSucc, col("id") === fromSucc("src"), "left")
         .select(col("id"),
-          when(col("merged").isNotNull, expr("hll_union(sk, merged)"))
-            .otherwise(col("sk")).as("sk"),
-          col("old_est"))
+          when(col("merged").isNotNull, expr("hll_union(old_sk, merged)"))
+            .otherwise(col("old_sk")).as("sk"),
+          col("old_sk"))
         .withColumn("est", expr("hll_sketch_estimate(sk)"))
+        // convergence gates on the REGISTER BYTES, not the estimate: in the
+        // dense regime registers can grow without moving the rounded
+        // estimate for a round, and halting then would drop propagation
+        // that raises downstream estimates later. Register unions are
+        // monotone and serialization deterministic, so byte-equality is a
+        // true fixpoint test (at most one extra superstep vs est-gating)
         .withColumn("changed",
-          when(col("est") =!= col("old_est"), 1L).otherwise(0L))
-        .drop("old_est")
+          when(col("sk") <=> col("old_sk"), 0L).otherwise(1L))
+        .drop("old_sk")
     } { state =>
       state.agg(coalesce(sum(col("changed")), lit(0L))).collect()(0)
         .getLong(0).toDouble

@@ -39,7 +39,10 @@ object Bfs {
     val init = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
       .repartition(P, col("id"))
-      .join(sources.select(col("id"), lit(0L).as("s")), Seq("id"), "left")
+      // distinct: duplicate seed rows would otherwise multiply state rows
+      // through the left join and persist as duplicate (id, dist) output
+      .join(sources.select(col("id")).distinct()
+        .withColumn("s", lit(0L)), Seq("id"), "left")
       .select(col("id"),
               when(col("s").isNotNull, 0L).otherwise(lit(INF)).as("dist"),
               lit(1L).as("changed"))
@@ -47,8 +50,12 @@ object Bfs {
     val cfg = cfg0.getOrElse(Superstep.Config(P, maxIter, tol = 0.0))
 
     val res = Superstep.run(spark, init, cfg) { (state, _) =>
+      // relax only from the FRONTIER (changed last step): in synchronous
+      // unit-weight BFS a settled vertex's offers were all made the round
+      // after it changed, so re-relaxing the settled set every round is
+      // O(E·diameter) work where O(E) total suffices
       val relax = e
-        .join(state.where(col("dist") < INF)
+        .join(state.where(col("changed") === 1L && col("dist") < INF)
                    .select(col("id"), (col("dist") + 1L).as("nd")),
               e("src") === col("id"))
         .groupBy(col("dst"))

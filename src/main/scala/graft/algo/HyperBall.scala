@@ -62,21 +62,27 @@ object HyperBall {
           e("src") === col("id"))
         .groupBy(col("dst"))
         .agg(expr("hll_union_agg(psk)").as("merged"))
-      state.select(col("id"), col("sk"), col("est").as("old_est"),
+      state.select(col("id"), col("sk").as("old_sk"), col("est").as("old_est"),
           col("sumd"), col("ecc"))
         .join(fromPred, col("id") === fromPred("dst"), "left")
         .select(col("id"),
-          when(col("merged").isNotNull, expr("hll_union(sk, merged)"))
-            .otherwise(col("sk")).as("sk"),
-          col("old_est"), col("sumd"), col("ecc"))
+          when(col("merged").isNotNull, expr("hll_union(old_sk, merged)"))
+            .otherwise(col("old_sk")).as("sk"),
+          col("old_sk"), col("old_est"), col("sumd"), col("ecc"))
         .withColumn("est", expr("hll_sketch_estimate(sk)"))
         .withColumn("grew", col("est") > col("old_est"))
         .withColumn("sumd",
           col("sumd") + when(col("grew"),
             (col("est") - col("old_est")) * t).otherwise(0.0))
         .withColumn("ecc", when(col("grew"), lit(t.toLong)).otherwise(col("ecc")))
-        .withColumn("changed", when(col("grew"), 1L).otherwise(0L))
-        .drop("old_est", "grew")
+        // loop continuation gates on REGISTER BYTES (monotone unions,
+        // deterministic serialization → true fixpoint), not the estimate:
+        // dense-regime register growth with a flat rounded estimate must
+        // keep propagating. grew/sumd/ecc stay estimate-based — they track
+        // the neighborhood-function increments, which ARE the estimates
+        .withColumn("changed",
+          when(col("sk") <=> col("old_sk"), 0L).otherwise(1L))
+        .drop("old_sk", "old_est", "grew")
     } { state =>
       state.agg(coalesce(sum(col("changed")), lit(0L))).collect()(0)
         .getLong(0).toDouble

@@ -65,6 +65,14 @@ object PageRank {
       .repartition(P, col("id"))
       .persist()
     val n = verts.count() // also materializes the cached vertex table
+    if (n == 0) {
+      // empty graph (reachable from streaming first/empty micro-batches):
+      // 1/n and the max(delta) measure are both undefined — return the
+      // empty result instead of NaN ranks / an NPE in the measure
+      val empty = verts.select(col("id"), lit(0.0).as("rank"))
+      e.unpersist(false); verts.unpersist(false)
+      return Superstep.Result(empty, 0, Seq.empty)
+    }
     val d = p.damping
 
     val init = warmStart match {
@@ -76,7 +84,9 @@ object PageRank {
         // it runs once for the mass total and once when Superstep
         // materializes the init state
         val joined = verts
-          .join(w.select(col("id"), col("rank").as("r0")), Seq("id"), "left")
+          .join(w.select(col("id"), col("rank").as("r0"))
+            .dropDuplicates("id"), // duplicate warm ids would fan out state
+            Seq("id"), "left")
           .na.fill(1.0 / n, Seq("r0"))
         val total = joined.agg(sum(col("r0"))).collect()(0).getDouble(0)
         joined.select(col("id"), (col("r0") / total).as("rank"),
@@ -114,7 +124,7 @@ object PageRank {
         .withColumn("delta", abs(col("rank") - col("prev")))
         .drop("prev")
     } { state =>
-      state.agg(max(col("delta"))).collect()(0).getDouble(0)
+      state.agg(coalesce(max(col("delta")), lit(0.0))).collect()(0).getDouble(0)
     }
 
     e.unpersist(false); verts.unpersist(false)

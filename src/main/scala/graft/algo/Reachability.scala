@@ -37,10 +37,14 @@ object Reachability {
     val starts = sources.map(s => s.select(col("id").cast("long")))
       .getOrElse(verts)
 
-    var known = starts.select(col("id").as("s"), col("id").as("v"))
-      .repartition(P, col("v")).persist()
-    var frontier = known
-    known.count()
+    val seedPairs = starts.select(col("id").as("s"), col("id").as("v"))
+      .repartition(P, col("v"))
+    // reflexive=false: seeds are NOT pre-known, so a (s,s) pair derived
+    // through a genuine cycle survives the anti-join and appears in the
+    // output — "reachable in ≥1 step" includes self-reachability via cycles
+    var known = (if (reflexive) seedPairs else seedPairs.limit(0)).persist()
+    var frontier = seedPairs.persist()
+    known.count(); frontier.count()
     var iter = 0
     var frontierSize = 1L
     while (frontierSize > 0 && iter < maxIter) {
@@ -61,9 +65,20 @@ object Reachability {
       frontier = next
       iter += 1
     }
+    if (frontierSize > 0) {
+      // loud failure beats a silently-truncated closure: the DuckDB
+      // recursive-CTE oracle has no depth cap, and downstream counts would
+      // be wrong with no signal
+      frontier.unpersist(false); e.unpersist(false)
+      throw new IllegalStateException(
+        s"transitive closure did not converge in $maxIter supersteps " +
+          s"(frontier still $frontierSize pairs) — raise maxIter")
+    }
     frontier.unpersist(false)
-    if (reflexive) known
-    else known.where(col("s") =!= col("v"))
+    e.unpersist(false)
+    // reflexive=false: known holds only DERIVED pairs (seeds were never
+    // added), so cycle self-reachability (s,s) is already exactly right
+    known
   }
 
   /** Per-start reachable-set size (descendants count; s itself excluded). */

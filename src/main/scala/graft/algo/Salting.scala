@@ -18,15 +18,20 @@ import org.apache.spark.sql.functions._
   *    by a count threshold, for hub-broadcast join plans: join cold
   *    normally, broadcast the hot-key slice.
   *
-  * The salt is `pmod(xxhash64(all columns), salts)` — content-derived,
-  * deterministic across runs/cluster sizes (F19 rule), which keeps salted
-  * plans replayable and checkpoint-resumable.
+  * The salt hashes all columns PLUS a per-row ordinal: content alone
+  * degenerates exactly on the hub case this module exists for (rows of a
+  * hot key that are identical — or identical outside the key — would all
+  * land on ONE salt). The FINAL aggregate is salt-invariant, so results
+  * stay deterministic (F19 rule); only the phase-1 partial split varies
+  * with physical row placement.
   */
 object Salting {
 
-  /** Deterministic row salt in [0, salts). */
+  /** Row salt in [0, salts) — content hash mixed with a per-row ordinal so
+    * duplicate rows of a hot key still spread across salts. */
   def salt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salts))
+    pmod(xxhash64(df.columns.map(col) :+ monotonically_increasing_id(): _*),
+      lit(salts))
 
   /** Two-phase salted aggregation for algebraic aggregates expressed as
     * (partial, merge) pairs on the same column name:

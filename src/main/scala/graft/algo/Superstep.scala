@@ -44,6 +44,32 @@ object Superstep {
 
   final case class Result(state: DataFrame, steps: Int, metrics: Seq[StepMetrics])
 
+  // The AQE-coalesce toggle is session-global; concurrent runs on one
+  // session must not restore it while a sibling loop is mid-convergence.
+  // Reference-counted: the first run in saves + disables, the LAST run out
+  // restores.
+  private val lock = new Object
+  private var activeRuns = 0
+  private var savedCoalesce: Option[String] = None
+
+  private def enterLoop(conf: org.apache.spark.sql.RuntimeConfig,
+                        key: String): Unit = lock.synchronized {
+    if (activeRuns == 0) {
+      savedCoalesce = conf.getOption(key)
+      conf.set(key, "false")
+    }
+    activeRuns += 1
+  }
+
+  private def exitLoop(conf: org.apache.spark.sql.RuntimeConfig,
+                       key: String): Unit = lock.synchronized {
+    activeRuns -= 1
+    if (activeRuns == 0) savedCoalesce match {
+      case Some(v) => conf.set(key, v)
+      case None    => conf.unset(key)
+    }
+  }
+
   /** Run `next` until `measure(state) <= cfg.tol` or maxIter.
     *
     * @param init    initial state (caller repartitions by the key column)
@@ -58,8 +84,7 @@ object Superstep {
 
     val conf = spark.conf
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prevCoalesce = conf.getOption(coalesceKey)
-    conf.set(coalesceKey, "false")
+    enterLoop(conf, coalesceKey)
     try {
       val metrics = scala.collection.mutable.ArrayBuffer[StepMetrics]()
       // resume from the newest committed superstep if a store has one
@@ -96,10 +121,7 @@ object Superstep {
       }
       Result(state, step, metrics.toSeq)
     } finally {
-      prevCoalesce match {
-        case Some(v) => conf.set(coalesceKey, v)
-        case None    => conf.unset(coalesceKey)
-      }
+      exitLoop(conf, coalesceKey)
     }
   }
 }

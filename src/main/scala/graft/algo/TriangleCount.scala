@@ -73,6 +73,7 @@ object TriangleCount {
       .persist()
 
     val totalCnt = tris.count()
+    oriented.unpersist(false) // dead once tris is materialized
     val perVertex = tris.select(col("u").as("id"))
       .union(tris.select(col("v").as("id")))
       .union(tris.select(col("w").as("id")))

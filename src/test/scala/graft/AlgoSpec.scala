@@ -125,6 +125,38 @@ class AlgoSpec extends AnyFunSuite {
     per.collect().foreach(r => assert(r.getLong(1) == 3L))
   }
 
+  test("PageRank on an empty edge table returns an empty result, no crash") {
+    // reachable from streaming first/empty micro-batches
+    val res = PageRank.run(Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(res.state.count() === 0L && res.steps === 0)
+  }
+
+  test("BFS deduplicates seed rows (no duplicate state fan-out)") {
+    val e = edgeDf(Seq(1L -> 2L, 2L -> 3L))
+    val seeds = Seq(1L, 1L, 1L).toDF("id") // duplicated on purpose
+    val out = Bfs.run(e, seeds, numPartitions = 4).state.collect()
+    assert(out.length === 3) // one row per vertex, not 3x for vertex 1
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("closure reflexive=false keeps cycle self-reachability and throws " +
+    "on maxIter truncation") {
+    // 1 -> 2 -> 1 cycle + a tail 2 -> 3: every cycle member reaches itself
+    val e = edgeDf(Seq(1L -> 2L, 2L -> 1L, 2L -> 3L))
+    val pairs = Reachability.closure(e, reflexive = false, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 1L)) && pairs.contains((2L, 2L)))
+    assert(!pairs.contains((3L, 3L))) // 3 has no outgoing path to itself
+    assert(pairs.contains((1L, 3L)))
+    // a chain longer than maxIter must fail loudly, not silently truncate
+    val chain = edgeDf((0L until 10L).map(i => i -> (i + 1)))
+    val ex = intercept[IllegalStateException] {
+      Reachability.closure(chain, numPartitions = 4, maxIter = 3).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("BFS distances + unreachable sentinel -1") {
     val es: Seq[(Long, Long)] = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 9L -> 8L)
     val src = Seq(0L).toDF("id")

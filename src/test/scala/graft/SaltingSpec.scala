@@ -53,13 +53,23 @@ class SaltingSpec extends AnyFunSuite {
     assert(cold.count() === 1000L)
   }
 
-  test("salt is deterministic across partitionings") {
-    val a = skewed.repartition(2)
-    val b = skewed.repartition(13)
-    val sa = a.withColumn("s", Salting.salt(a, 8)).groupBy("s").count()
+  test("salt spreads a hub of IDENTICAL rows across salts (the degenerate " +
+    "case content-only hashing collapses), final aggregate partition-" +
+    "invariant") {
+    // 5000 byte-identical rows of one hot key: a content-only salt maps
+    // them all to ONE salt value and phase 1 degenerates to the unsalted
+    // hub — the exact case the module exists to prevent
+    val hub = Seq.fill(5000)((0L, 1.0)).toDF("k", "v")
+    val perSalt = hub.withColumn("s", Salting.salt(hub, 16))
+      .groupBy("s").count().collect().map(_.getLong(1))
+    assert(perSalt.length > 8, s"hub collapsed onto ${perSalt.length} salts")
+    assert(perSalt.max < 5000L / 4, s"worst salt holds ${perSalt.max} rows")
+    // the salt-invariant contract: the FINAL aggregate is identical across
+    // partitionings (per-salt partials may differ — documented)
+    val a = Salting.saltedCount(skewed.repartition(2), "k", 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val sb = b.withColumn("s", Salting.salt(b, 8)).groupBy("s").count()
+    val b = Salting.saltedCount(skewed.repartition(13), "k", 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(sa === sb)
+    assert(a === b)
   }
 }
