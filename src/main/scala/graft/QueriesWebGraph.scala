@@ -324,7 +324,8 @@ object QueriesWebGraph {
         |  FROM u WHERE k%2=0
         |  UNION ALL
         |  SELECT v, sjs, 'c' || (k%5) || '|$$$$|' || doch, tlu,
-        |    '{"value":"v' || (c%4) || '"}',
+        |    CASE WHEN k%4=1 THEN '{"value":""}'
+        |         ELSE '{"value":"v' || (c%4) || '"}' END,
         |    'N/A', 'N/A', 'N/A', ckts, NULL, NULL, NULL,
         |    CASE WHEN k%4=1 THEN 'set_js' ELSE 'get_js' END
         |  FROM u WHERE k%2=1

@@ -47,17 +47,20 @@ object CookieExpressions {
     }.toArray[Any])
   }
 
-  /** Row-hot static entry: request headers JSON → `get` cookie triples. */
+  /** Row-hot static entry: request headers JSON → `get` cookie triples.
+    * FIRST Cookie header only — the reference's MultiDict index ignores
+    * repeated instances (http_storage_edges.py:90-95). */
   def getTriples(reqattr: UTF8String): ArrayData =
-    triples(CookieParse.headerValues(s(reqattr), "Cookie")
+    triples(CookieParse.firstHeaderValue(s(reqattr), "Cookie").toSeq
       .flatMap(CookieParse.parseCookieHeader)
       .map { case (n, v) => (n, "get", CookieParse.getCookieJson(n, v)) })
 
-  /** Row-hot static entry: response headers JSON → `set` cookie triples
-    * (Set-Cookie values first, then set-cookie — header-order parity with
-    * the former concat of two headerValues calls). */
+  /** Row-hot static entry: response headers JSON → `set` cookie triples —
+    * the FIRST "Set-Cookie" instance then the FIRST "set-cookie" instance
+    * (MultiDict-index parity, http_storage_edges.py:96-103; further
+    * repeats of either spelling are ignored as the reference does). */
   def setTriples(respattr: UTF8String): ArrayData = {
-    val hv = (n: String) => CookieParse.headerValues(s(respattr), n)
+    val hv = (n: String) => CookieParse.firstHeaderValue(s(respattr), n).toSeq
     triples((hv("Set-Cookie") ++ hv("set-cookie"))
       .flatMap(CookieParse.parseSetCookie)
       .map(c => (c.name, "set", CookieParse.setCookieJson(c))))

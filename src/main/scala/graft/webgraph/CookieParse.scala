@@ -12,30 +12,43 @@ package graft.webgraph
 object CookieParse {
 
   /** JS `document.cookie` GET payload: "a=1; b=2" → [(name, value)…]
-    * (storage_edges.py:79-82 split-on-; then split-on-=; a pair without '='
-    * yields value ""). */
+    * (storage_edges.py:79-82 split-on-; then FULL split-on-=, then
+    * process_cookie_call_stack:140 gates on `len(pair) > 1`):
+    *  - a fragment without '=' yields a 1-element pair → NO node/edge
+    *    (dropped here);
+    *  - the value is `pair[1]` — the segment between the FIRST and SECOND
+    *    '=' only ("a=b=c" → value "b", not "b=c");
+    *  - an empty name ("=v" → ["", "v"]) IS emitted. */
   def jsGet(value: String): Seq[(String, String)] = {
     if (value == null || value.isEmpty) return Seq.empty
-    value.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { c =>
-      val i = c.indexOf('=')
-      if (i < 0) (c, "") else (c.substring(0, i), c.substring(i + 1))
+    value.split(";").toSeq.map(_.trim).flatMap { c =>
+      val parts = c.split("=", -1)
+      if (parts.length < 2) None else Some((parts(0), parts(1)))
     }
   }
 
-  /** JS `document.cookie` SET payload: "name=value; attr=v; Secure" →
-    * single (name, value-with-attrs) pair (storage_edges.py:84-92: value
-    * keeps the attribute tail appended after "; "). */
+  /** JS `document.cookie` SET payload (storage_edges.py:84-92, exact
+    * branch parity):
+    *  - "name=value; attrs" → (name, value + "; " + attrs) — attrs folded
+    *    into the value;
+    *  - "name=value" with NO attributes → (name, "") — the reference only
+    *    assigns `value` inside the len(cookie)>1 branch, so the real value
+    *    is DROPPED (kept quirk);
+    *  - "name; attrs" (no '=' but attributes) → nothing — the reference's
+    *    cookie[0].split('=',1)[1] raises IndexError and the append never
+    *    runs;
+    *  - bare "name" → (name, ""). */
   def jsSet(value: String): Seq[(String, String)] = {
     if (value == null || value.isEmpty) return Seq.empty
     val parts = value.split(";", 2)
     val first = parts(0)
     val eq = first.indexOf('=')
-    val name = if (eq < 0) first else first.substring(0, eq)
-    val v =
-      if (parts.length > 1)
-        (if (eq < 0) "" else first.substring(eq + 1)) + "; " + parts(1)
-      else if (eq < 0) "" else first.substring(eq + 1)
-    Seq((name, v))
+    if (parts.length > 1) {
+      if (eq < 0) Seq.empty
+      else Seq((first.substring(0, eq), first.substring(eq + 1) + "; " + parts(1)))
+    } else {
+      Seq((if (eq < 0) first else first.substring(0, eq), ""))
+    }
   }
 
   final case class HttpCookie(
@@ -47,49 +60,73 @@ object CookieParse {
     Set("expires", "path", "domain", "max-age", "httponly", "secure",
       "samesite", "version", "comment")
 
-  /** Set-Cookie header → cookies with attributes. Multiple cookies in one
-    * header are split on commas that start a new `name=` pair (the
-    * BaseCookie behavior for OpenWPM's newline-merged headers is
-    * approximated by also splitting on '\n'). */
+  /** Set-Cookie header → cookies with attributes, BaseCookie morsel
+    * semantics (http_storage_edges.py:10-39): a ';'-separated token whose
+    * key is NOT a reserved attribute but carries '=' starts a NEW cookie
+    * morsel ("a=1; b=2" yields cookies a AND b, like CPython's
+    * BaseCookie), reserved attributes attach to the current morsel, and
+    * unknown flag tokens are ignored. OpenWPM's newline-merged headers
+    * additionally split on '\n'. (Approximation kept: BaseCookie's
+    * strict legal-character set and its comma-separator legacy are not
+    * reproduced — a parse error there voids the whole header, here only
+    * the token.) */
   def parseSetCookie(header: String): Seq[HttpCookie] = {
     if (header == null || header.isEmpty) return Seq.empty
-    header.split("\n").toSeq.flatMap(parseOneSetCookie)
+    header.split("\n").toSeq.flatMap(parseMorsels)
   }
 
-  private def parseOneSetCookie(header: String): Option[HttpCookie] = {
-    val parts = header.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
-    if (parts.isEmpty) return None
-    val eq = parts.head.indexOf('=')
-    if (eq <= 0) return None
-    val name = parts.head.substring(0, eq).trim
-    val value = parts.head.substring(eq + 1).trim
+  private val reservedAttrs =
+    Set("expires", "path", "domain", "max-age", "samesite", "httponly",
+      "secure", "version", "comment")
+
+  private final class MorselBuilder(val name: String, val value: String) {
     var expires, path, domain, maxAge, samesite: Option[String] = None
     var httponly, secure = false
-    parts.tail.foreach { p =>
-      val i = p.indexOf('=')
-      val (k, v) =
-        if (i < 0) (p.toLowerCase, "") else (p.substring(0, i).trim.toLowerCase,
-          p.substring(i + 1).trim)
-      k match {
-        case "expires"  => expires = Some(v)
-        case "path"     => path = Some(v)
-        case "domain"   => domain = Some(v)
-        case "max-age"  => maxAge = Some(v)
-        case "samesite" => samesite = Some(v)
-        case "httponly" => httponly = true
-        case "secure"   => secure = true
-        case _          => // unknown attribute: ignored (BaseCookie raises
-                           // and the reference swallows → cookie dropped;
-                           // we keep the cookie and drop the attr — fix)
-      }
-    }
-    Some(HttpCookie(name, value, expires, path, domain, maxAge, httponly,
-      secure, samesite))
+    def build: HttpCookie = HttpCookie(name, value, expires, path, domain,
+      maxAge, httponly, secure, samesite)
   }
 
-  /** Cookie request header: "a=1; b=2" → [(name, value)…]. */
-  def parseCookieHeader(header: String): Seq[(String, String)] =
-    jsGet(header).filter(_._1.nonEmpty)
+  private def parseMorsels(header: String): Seq[HttpCookie] = {
+    val parts = header.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+    val out = Seq.newBuilder[HttpCookie]
+    var cur: MorselBuilder = null
+    parts.foreach { p =>
+      val i = p.indexOf('=')
+      val key = (if (i < 0) p else p.substring(0, i).trim).toLowerCase
+      if (reservedAttrs.contains(key)) {
+        val v = if (i < 0) "" else p.substring(i + 1).trim
+        if (cur != null) key match {
+          case "expires"  => cur.expires = Some(v)
+          case "path"     => cur.path = Some(v)
+          case "domain"   => cur.domain = Some(v)
+          case "max-age"  => cur.maxAge = Some(v)
+          case "samesite" => cur.samesite = Some(v)
+          case "httponly" => cur.httponly = true
+          case "secure"   => cur.secure = true
+          case _          => () // version/comment: parsed, not stored
+        }
+      } else if (i > 0) {
+        // non-reserved name=value: a NEW cookie morsel
+        if (cur != null) out += cur.build
+        cur = new MorselBuilder(p.substring(0, i).trim,
+          p.substring(i + 1).trim)
+      } // non-reserved flag token: ignored
+    }
+    if (cur != null) out += cur.build
+    out.result()
+  }
+
+  /** Cookie request header: "a=1; b=2" → [(name, value)…] — BaseCookie
+    * morsel semantics (http_storage_edges.py:42-63), NOT the js-get split:
+    * value is the FULL tail after the first '=' ("a=b=c" → "b=c"), and a
+    * fragment without '=' or with an empty name yields no morsel. */
+  def parseCookieHeader(header: String): Seq[(String, String)] = {
+    if (header == null || header.isEmpty) return Seq.empty
+    header.split(";").toSeq.map(_.trim).flatMap { c =>
+      val i = c.indexOf('=')
+      if (i <= 0) None else Some((c.substring(0, i).trim, c.substring(i + 1)))
+    }
+  }
 
   /** OpenWPM header JSON `[["name","value"],…]` → values for one
     * (case-sensitive) header name. Shared by the native cookie
@@ -104,10 +141,52 @@ object CookieParse {
   def headerValues(headersJson: String, name: String): Seq[String] = {
     if (headersJson == null || headersJson.isEmpty) return Seq.empty
     headerPairRe.findAllMatchIn(headersJson).collect {
-      case m if m.group(1) == name =>
-        m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")
-          .replace("\\n", "\n")
+      case m if m.group(1) == name => unescapeJson(m.group(2))
     }.toSeq
+  }
+
+  /** FIRST value of a (possibly repeated) header — the reference loads
+    * headers into a multidict.MultiDict and indexes it
+    * (http_storage_edges.py:90-103), which returns only the first instance
+    * of a repeated name; later Cookie/Set-Cookie instances are IGNORED. */
+  def firstHeaderValue(headersJson: String, name: String): Option[String] = {
+    if (headersJson == null || headersJson.isEmpty) return None
+    headerPairRe.findAllMatchIn(headersJson).collectFirst {
+      case m if m.group(1) == name => unescapeJson(m.group(2))
+    }
+  }
+
+  /** Single-pass JSON string-escape decoder (the former chained
+    * `.replace`s corrupted "\\\\n" — escaped backslash + n — into a
+    * newline; json.loads, which the reference uses, does not). */
+  private[graft] def unescapeJson(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/'  => sb.append('/'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 'b'  => sb.append('\b'); i += 2
+          case 'f'  => sb.append('\f'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            try {
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            } catch {
+              case _: NumberFormatException => sb.append(c); i += 1
+            }
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** attr JSON for a `get` cookie edge (http_storage_edges.py:30-36) —

@@ -124,8 +124,11 @@ object GraphAssembly {
           when(col("domain") === col("top_level_domain"), "first")
             .otherwise("third"))
           .otherwise("N/A"))
+      // no dedup needed: consolidateNodes' groupBy(visit_id, name) already
+      // yields one row per key and every appended column is a
+      // deterministic function of that row — a dropDuplicates here was a
+      // no-op costing a full-width exchange per run
       .withColumn("graph_attr", lit("Node"))
-      .dropDuplicates()
 
     // `attr` carries storage values on storage/cookie edges (J9 reads
     // them back, IndirectEdges) — part of the reference's 23-col schema.

@@ -10,21 +10,33 @@ import org.apache.spark.sql.functions._
   * linked to their parent element through the shared openwpm tag.
   *
   * Conscious fixes vs the reference (SURVEY.md §2.11):
-  *  - Element ids are content-derived (`Element_<xxhash64(natural key)>`)
-  *    instead of the pandas row index (html_edges.py:116) which is
-  *    run-order-dependent — F19 determinism rule;
+  *  - Element ids are content-derived (`Element_<xxhash64(natural
+  *    key)>_<rn>`, rn = deterministic row_number within the natural-key
+  *    group) instead of the pandas row index (html_edges.py:116) which is
+  *    run-order-dependent — F19 determinism rule, one node per
+  *    createElement row preserved;
   *  - `subtype` is pinned to "" — the reference's convert_subtype references
   *    an undefined variable and always falls through to "" (§2.11.2).
   */
 object HtmlGraph {
 
   def build(js: Dataset[JsCall]): (DataFrame, DataFrame) = {
+    // one NODE PER createElement ROW (the reference names by dataframe row
+    // index, html_edges.py:116): the content hash alone would collapse
+    // same-tick same-script same-arguments creations into one node, so a
+    // deterministic row_number inside each natural-key group disambiguates
+    // (ties ordered by attributes — the openwpm tag — then interchangeable)
+    val keyW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("visit_id"), col("time_stamp"), col("script_url"),
+        col("arguments"))
+      .orderBy(col("attributes"))
     val created = js.toDF()
       .where(col("symbol") === "window.document.createElement")
       .withColumn("name",
         concat(lit("Element_"),
           xxhash64(col("visit_id"), col("time_stamp"), col("script_url"),
-            col("arguments"))))
+            col("arguments")),
+          lit("_"), row_number().over(keyW)))
       .withColumn("openwpm_tag",
         get_json_object(col("attributes"), "$['0'].openwpm"))
       .withColumn("attr", to_json(struct(
@@ -66,9 +78,19 @@ object HtmlGraph {
         col("value").as("dst"), col("top_level_url"),
         lit("setsrc").as("action"), col("time_stamp"))
 
-    val nodes = elementNodes.drop("openwpm_tag").unionByName(srcNodes)
+    // reference quirk kept (html_edges.py:131-150): the element/create
+    // frames are only merged into the output INSIDE `if len(src_elements)
+    // > 0` — a visit with createElement calls but zero Element.src sets
+    // contributes NOTHING from this builder
+    val visitsWithSrc = srcSets.select(col("visit_id")).distinct()
+    val gatedElementNodes = elementNodes
+      .join(visitsWithSrc, Seq("visit_id"), "left_semi")
+    val gatedCreateEdges = createEdges
+      .join(visitsWithSrc, Seq("visit_id"), "left_semi")
+
+    val nodes = gatedElementNodes.drop("openwpm_tag").unionByName(srcNodes)
       .dropDuplicates()
-    val edges = createEdges.unionByName(srcEdges)
+    val edges = gatedCreateEdges.unionByName(srcEdges)
       .withColumn("reqattr", lit("N/A"))
       .withColumn("respattr", lit("N/A"))
       .withColumn("response_status", lit("N/A"))

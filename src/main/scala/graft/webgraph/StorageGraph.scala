@@ -33,9 +33,15 @@ object StorageGraph {
         when(get_json_object(col("arguments"), "$[1]").isNotNull,
           to_json(struct(get_json_object(col("arguments"), "$[1]").as("value"))))
           .otherwise(lit("")))
+      // non-*Item Storage symbols (clear/length/key) get action "" — the
+      // reference's get_storage_action re.search fails, the exception is
+      // swallowed and "" returned (storage_edges.py:46-61); blindly
+      // appending the suffix would mint a phantom "_storage_js" action
       .withColumn("action",
-        concat(regexp_extract(col("symbol"), "Storage\\.(.*)Item", 1),
-          lit("_storage_js")))
+        when(col("symbol").rlike("Storage\\..*Item"),
+          concat(regexp_extract(col("symbol"), "Storage\\.(.*)Item", 1),
+            lit("_storage_js")))
+          .otherwise(lit("")))
       .withColumn("domain", etld1(col("document_url")))
       .withColumn("skey",
         concat_ws("|$$|", col("sname"), col("domain"), lit("LS")))

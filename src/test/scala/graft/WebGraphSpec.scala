@@ -87,6 +87,39 @@ class WebGraphSpec extends AnyFunSuite {
     assert(elemNode.getAs[String]("attr").contains("tag777"))
   }
 
+  test("html quirks: one node per createElement row; zero-src-set visits " +
+    "contribute nothing (html_edges.py gates)") {
+    import spark.implicits._
+    def call(vid: Long, sym: String, args: String, attrs: String, op: String,
+             value: String, ts: String) =
+      JsCall(vid, "http://s.example/a.js", "1", "", "http://p.example/",
+        "http://p.example/", sym, "", op, args, attrs, value, ts)
+    val rows = Seq(
+      // visit 1: TWO same-tick same-script same-args createElements
+      // (distinct openwpm tags) + one src set — must yield TWO element
+      // nodes (reference: one node per dataframe row)
+      call(1L, "window.document.createElement", "[\"img\"]",
+        """{"0":{"openwpm":"t1"}}""", "call", "", "ts1"),
+      call(1L, "window.document.createElement", "[\"img\"]",
+        """{"0":{"openwpm":"t2"}}""", "call", "", "ts1"),
+      call(1L, "HTMLImageElement.Element.src", "",
+        """{"0":{"openwpm":"t1"}}""", "set", "http://cdn.example/a.gif", "ts2"),
+      // visit 2: createElement but NO Element.src set — the reference's
+      // build_html_components returns nothing for this visit
+      call(2L, "window.document.createElement", "[\"img\"]",
+        """{"0":{"openwpm":"t3"}}""", "call", "", "ts1")
+    ).toDS()
+    val (nodes, edges) = HtmlGraph.build(rows)
+    val elems = nodes.where(col("type") === "Element").collect()
+    assert(elems.length === 2, "same-content createElement rows collapsed")
+    assert(elems.map(_.getAs[String]("name")).distinct.length === 2)
+    assert(nodes.where(col("visit_id") === 2L).count() === 0)
+    assert(edges.where(col("visit_id") === 2L).count() === 0)
+    // the src edge hangs off the t1 element specifically
+    val setsrc = edges.where(col("action") === "setsrc").collect()
+    assert(setsrc.length === 1)
+  }
+
   test("localStorage: LS-suffixed keys, get/set actions") {
     val (nodes, edges) = StorageGraph.localStorage(js)
     val key = "theme|$$|site-a.example|$$|LS"
@@ -119,6 +152,37 @@ class WebGraphSpec extends AnyFunSuite {
     assert(setAttr.contains("\"secure\":true"))
     assert(setAttr.contains("\"samesite\":\"None\""))
     assert(nodes.collect().forall(_.getAs[String]("type") === "Storage"))
+  }
+
+  test("cookie parse parity quirks: jsSet value drop, jsGet '=' gating, " +
+    "Set-Cookie morsels, first-header-only, unescape") {
+    import graft.webgraph.CookieParse
+    // set WITHOUT attributes: the reference's get_cookie_name only assigns
+    // `value` inside its len(cookie)>1 branch — the real value is dropped
+    assert(CookieParse.jsSet("sid=abc") === Seq(("sid", "")))
+    // set WITH attributes: value tail + "; " + attrs (reference concat,
+    // incl. the preserved leading space of the attr tail)
+    assert(CookieParse.jsSet("sid=abc; Path=/") === Seq(("sid", "abc;  Path=/")))
+    // no '=' but attributes follow: IndexError path → no pair at all
+    assert(CookieParse.jsSet("sid; Path=/") === Seq.empty)
+    assert(CookieParse.jsSet("sid") === Seq(("sid", "")))
+    // get: FULL split('='), value = segment between first and second '=',
+    // '='-less fragments yield a 1-element pair → gated out; empty-name
+    // ("=v") pairs survive
+    assert(CookieParse.jsGet("a=b=c; flag; =v") === Seq(("a", "b"), ("", "v")))
+    // HTTP Cookie header keeps the FULL tail (BaseCookie morsel value)
+    assert(CookieParse.parseCookieHeader("a=b=c") === Seq(("a", "b=c")))
+    // Set-Cookie: a non-reserved name=value token starts a NEW morsel
+    val cs = CookieParse.parseSetCookie("a=1; Path=/; b=2; Secure")
+    assert(cs.map(_.name) === Seq("a", "b"))
+    assert(cs(0).path === Some("/") && !cs(0).secure)
+    assert(cs(1).value === "2" && cs(1).secure)
+    // single-pass unescape: escaped-backslash + n is NOT a newline
+    assert(CookieParse.unescapeJson("""x\\ny""") === "x\\ny")
+    assert(CookieParse.unescapeJson("""a\"bA""") === "a\"bA")
+    // repeated headers: only the FIRST instance is visible (MultiDict)
+    assert(CookieParse.firstHeaderValue("""[["H","1"],["H","2"]]""", "H")
+      === Some("1"))
   }
 
   test("cookie parsers plan as native expressions (no ScalaUDF)") {
@@ -163,14 +227,18 @@ class WebGraphSpec extends AnyFunSuite {
     assert(!lsPlan.contains("UDF") && lsPlan.contains("etld1("))
     assert(!lsEdges.queryExecution.executedPlan.toString.contains("UDF"))
     // expression ↔ kernel equivalence on adversarial payloads (quotes,
-    // backslashes, multi-cookie headers, flag attrs, '=' in values)
+    // backslashes, multi-cookie headers, flag attrs, '=' in values).
+    // MultiDict parity: only the FIRST Cookie header instance is parsed
+    // (the second is ignored); a fragment without '=' yields no morsel;
+    // values keep the FULL tail after the first '='
     graft.ext.GraftExtensions.register(spark)
-    val hdr = """[["Cookie","a=1; b=x\"y; c"],["X","z"],["Cookie","d=e=f"]]"""
+    val hdr =
+      """[["Cookie","a=1; b=x\"y; c; d=e=f"],["X","z"],["Cookie","zz=ignored"]]"""
     val gets = spark.sql(
       s"""SELECT explode(cookie_get_triples('${hdr.replace("\\", "\\\\").replace("'", "''")}')) AS t""")
       .select("t._1", "t._3").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(gets.keySet === Set("a", "b", "c", "d"))
+    assert(gets.keySet === Set("a", "b", "d"))
     assert(gets("b") === graft.webgraph.CookieParse.getCookieJson("b", "x\"y"))
     assert(gets("d").contains("\"value\":\"e=f\""))
     val sc = """[["Set-Cookie","t=1; Path=/; Secure; SameSite=None"]]"""
