@@ -111,7 +111,7 @@ object Bench {
       (name, wall, cpu, gc)
     }
     def numMap(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => "\"" + k + f"""\":${v}%.3f""" }
+      xs.map { case (k, v) => "\"" + k + f"""\":${v}%.2f""" }
         .mkString("{", ",", "}")
     val qs = numMap(results.map(r => r._1 -> r._2))
     val qsCpu = numMap(results.map(r => r._1 -> r._3))
@@ -132,14 +132,27 @@ object Bench {
         f""""load_avg_end":$loadEnd%.2f,"queries_cpu_sec":$qsCpu,""" +
         f""""queries_gc_sec":$qsGc}"""
 
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""graph":$graphJson,"diag":$diagJson,"cores":$cpus,"sf":"$sfDir"}"""
-    // sidecar file for local iteration; stdout line is the driver contract
+    // DRIVER CONTRACT: the driver machine-reads only the LAST ~2000 chars of
+    // stdout, so the final JSON line must stay compact — total + per-query
+    // WALL map + graph section ONLY (round 3 appended the cpu/gc diag maps
+    // here, pushed the line past the capture window, and BENCH_r03.parsed
+    // came back null). The diagnostics now ride on a separate PRECEDING
+    // stdout line and in the BENCH_LOCAL.json sidecar.
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
+      s""""queries":$qs,"graph":$graphJson,"cores":$cpus,"sf":"$sfDir"}"""
+    val diagLine = s"""{"bench_diag":$diagJson}"""
+    // sidecar file for local iteration; the final stdout line is the contract
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (line + "\n" + diagLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop() // stop FIRST so no Spark shutdown logs trail the JSON line
+    println(diagLine)
     println(line)
     System.out.flush()
+    // loud self-check (stderr — never pollutes the stdout contract): warn if
+    // the contract line ever grows back toward the capture limit
+    if (line.length > 1850)
+      System.err.println(s"[bench] WARNING contract line ${line.length} chars" +
+        " — driver tail capture is ~2000; trim the registry or precision")
   }
 }

@@ -27,7 +27,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - every computed column is aliased identically on both sides;
   *  - approximate operators (LSH, SimHash, multi-probe ANN) are either
   *    oracled against exact ground truth where recall is provably certain
-  *    for this corpus (d3) or rows-only + ScalaTest recall bounds (d4, e2).
+  *    for this corpus (d3), oracled exactly because the blocking is
+  *    recall-lossless and the hash is engine-portable (d4), or rows-only +
+  *    ScalaTest recall bounds (e2, e3).
   */
 object Queries {
 

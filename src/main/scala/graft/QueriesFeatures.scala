@@ -123,7 +123,10 @@ object QueriesFeatures {
         lit(null).cast("string").as("attr"),
         lit("N/A").as("reqattr"),
         col("ts").cast("string").as("time_stamp"))
-      val ind = IndirectEdges.build(edges).localCheckpoint(true)
+      // shared IR consumed by both join branches: scratchTable (tmp-parquet
+      // round trip) instead of localCheckpoint — no retained blocks leak
+      // into host sessions that never call releaseScratch
+      val ind = QueryUtil.scratchTable(IndirectEdges.build(edges), "if1_ind")
       IndirectEdges.counts(ind)
         .join(IndirectEdges.weights(ind), Seq("visit_id", "name"), "full_outer")
         .select(col("visit_id"), col("name"),

@@ -167,14 +167,44 @@ object QueriesText {
          |             JOIN sizes sb ON i.b_id = sb.doc_id
          |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.8""".stripMargin)),
 
-    // D4: SimHash near-dup pairs (pigeonhole-blocked). Rows-only check here
-    // (hamming threshold semantics differ from Jaccard's); DedupSpec pins
-    // recall against d2's ground truth on this corpus.
+    // D4: SimHash near-dup pairs, FULLY oracled (round-4 close of the last
+    // avoidable no_oracle row): the token hash here is the md5-derived
+    // 64-bit variant both engines compute bit-identically, so DuckDB can
+    // mirror the complete signature build (per-bit ±1 votes → sign → 64-bit
+    // sig). Spark runs the pigeonhole-blocked candidate join (the scale
+    // shape — never all-pairs); the oracle brute-forces bit_count(xor)≤6
+    // over the same signatures, which is the identical pair set because
+    // maxHam < blocks guarantees blocking recall. The xxhash64 production
+    // path keeps its DedupSpec recall/ground-truth pins.
     ("d4_simhash_pairs", (s: SparkSession, dir: String) => {
       implicit val sp = s
       Dedup.simHashPairs(t(dir, "documents"), "doc_id", "text",
-        maxHam = 6, blocks = 8).select(col("a_id"), col("b_id"))
-    }, None),
+        maxHam = 6, blocks = 8, tokenHash = Dedup.md5TokenHash)
+        .select(col("a_id"), col("b_id"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |      * 4294967296 + lo AS h
+        |  FROM (SELECT doc_id,
+        |          CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS hi,
+        |          CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT) AS lo
+        |        FROM toks)),
+        |votes AS (
+        |  SELECT doc_id, bit,
+        |    SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit)
+        |  GROUP BY doc_id, bit),
+        |sig AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN
+        |      CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+        |           ELSE (1::BIGINT << bit) END ELSE 0 END) AS BIGINT) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin)),
 
     // D5: embedding-cosine near-dup pairs (brute force — the oracle tier;
     // threshold 0.40 sits 1.3e-4 away from the nearest similarity, so

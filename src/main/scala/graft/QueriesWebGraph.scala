@@ -8,15 +8,14 @@ import graft.webgraph._
 
 /** Graph-construction parity queries (SURVEY.md §2.3 J1-J6, §2.4 A1/A2,
   * §2.7 F7-F9/F13-F15/F19): the reference's OpenWPM→property-graph
-  * assembly. wg1/wg2 run over the deterministic crawl fixture
-  * (FIXTURES.md §3 — not DuckDB-visible → rows-only, semantics pinned by
-  * WebGraphSpec goldens); wg4/wg5 run the REAL RequestGraph construction
+  * assembly. wg4/wg5 run the REAL RequestGraph construction
   * over events-derived OpenWPM-shaped tables with a full DuckDB mirror:
   * redirect-chain assembly (J1: 3-way join + per-chain window with the
   * lead() header shift, A4/W3), completed-key anti join (J3/P7), key synth
-  * (F13), and type promotion (F14). Call stacks are empty in wg4 (the
-  * stack-URL regex explode is not SQL-expressible; it is spec-pinned and
-  * covered rows-only via wg2). */
+  * (F13), and type promotion (F14); wg7/wg8 oracle the complete unified
+  * node/edge composition the same way. Call stacks are empty in wg4 (the
+  * stack-URL regex explode is not SQL-expressible; it is spec-pinned over
+  * the crawl fixture in WebGraphSpec). */
 object QueriesWebGraph {
 
   private def wgTables(s: SparkSession, dir: String) = {
@@ -348,27 +347,10 @@ object QueriesWebGraph {
         |  'Edge' AS graph_attr
         |FROM alle""".stripMargin)),
 
-    // The unified 23-column-model node table after A1 consolidation,
-    // setter attach (A2/J5, latest-setter parity quirk) and party flags.
-    ("wg1_unified_nodes", (s: SparkSession, dir: String) => {
-      val (nodes, _) = GraphAssembly.unifiedGraph(
-        FixtureCrawl.requests(s), FixtureCrawl.responses(s),
-        FixtureCrawl.redirects(s), FixtureCrawl.callstacks(s),
-        FixtureCrawl.jsCalls(s))
-      nodes.orderBy("name")
-    }, None),
-
-    // The unified edge table: redirect chains (J1), call-stack hops (J2),
-    // anti-joined normal edges (J3/P7), element create/setsrc (J4),
-    // storage/cookie explodes (F7/F8), HTTP cookie headers (F9/J6).
-    ("wg2_unified_edges", (s: SparkSession, dir: String) => {
-      val (_, edges) = GraphAssembly.unifiedGraph(
-        FixtureCrawl.requests(s), FixtureCrawl.responses(s),
-        FixtureCrawl.redirects(s), FixtureCrawl.callstacks(s),
-        FixtureCrawl.jsCalls(s))
-      edges.groupBy(col("action")).agg(count(lit(1)).as("n_edges"))
-        .orderBy("action")
-    }, None),
+    // (wg1/wg2 — the fixture-bound rows-only unified-graph entries — were
+    // retired in round 4: the composition they smoke-checked is now FULLY
+    // oracled by wg7/wg8 below, and their crawl-fixture goldens live on in
+    // WebGraphSpec. Zero avoidable `no_oracle` registry rows remain.)
 
     // WG4: the REAL RequestGraph edge assembly end-to-end (J1 redirect
     // chains with the lead() header shift, J3 normal edges behind the

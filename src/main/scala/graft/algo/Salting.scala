@@ -18,20 +18,35 @@ import org.apache.spark.sql.functions._
   *    by a count threshold, for hub-broadcast join plans: join cold
   *    normally, broadcast the hot-key slice.
   *
-  * The salt hashes all columns PLUS a per-row ordinal: content alone
+  * The salt hashes all columns PLUS a per-duplicate ordinal: content alone
   * degenerates exactly on the hub case this module exists for (rows of a
   * hot key that are identical — or identical outside the key — would all
-  * land on ONE salt). The FINAL aggregate is salt-invariant, so results
-  * stay deterministic (F19 rule); only the phase-1 partial split varies
-  * with physical row placement.
+  * land on ONE salt). The ordinal is a DETERMINISTIC row_number within
+  * groups of fully-identical rows — NOT monotonically_increasing_id(),
+  * whose partition-dependent values would make the phase-1 shuffle input
+  * nondeterministic: a shuffle-fetch failure forcing partial map-stage
+  * recomputation could re-salt rows differently across attempts and
+  * silently double-count/drop rows (the SPARK-23207 corruption class —
+  * SQL does not mark such a stage indeterminate for full rerun). With the
+  * content-ranked ordinal, a retried task reproduces the identical salted
+  * multiset, so replay/checkpoint-resume of salted plans stays exact
+  * (F19 determinism rule).
   */
 object Salting {
 
-  /** Row salt in [0, salts) — content hash mixed with a per-row ordinal so
-    * duplicate rows of a hot key still spread across salts. */
-  def salt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col) :+ monotonically_increasing_id(): _*),
+  /** Row salt in [0, salts) — content hash mixed with a deterministic
+    * per-duplicate rank so duplicate rows of a hot key still spread across
+    * salts. Costs one extra shuffle (the all-columns window): which
+    * physical row receives which rank is arbitrary, but ranked rows are
+    * identical by construction, so the salted multiset — and hence every
+    * downstream aggregate — is a pure function of the data. */
+  def salt(df: DataFrame, salts: Int): Column = {
+    val dupRank = org.apache.spark.sql.functions.row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(df.columns.map(col): _*).orderBy(lit(1)))
+    pmod(xxhash64(df.columns.map(col) :+ dupRank.cast("long"): _*),
       lit(salts))
+  }
 
   /** Two-phase salted aggregation for algebraic aggregates expressed as
     * (partial, merge) pairs on the same column name:

@@ -46,27 +46,38 @@ object Superstep {
 
   // The AQE-coalesce toggle is session-global; concurrent runs on one
   // session must not restore it while a sibling loop is mid-convergence.
-  // Reference-counted: the first run in saves + disables, the LAST run out
-  // restores.
+  // Reference-counted PER SESSION (keyed by the session's RuntimeConfig
+  // identity — a process-global counter would let a second concurrent
+  // SparkSession enter with count>0, never get its flag disabled, and have
+  // the last exit write the FIRST session's saved value into the LAST
+  // session's conf): the first run in on a session saves + disables, the
+  // last run out on that session restores.
   private val lock = new Object
-  private var activeRuns = 0
-  private var savedCoalesce: Option[String] = None
+  private val active = scala.collection.mutable.Map[
+    org.apache.spark.sql.RuntimeConfig, (Int, Option[String])]()
 
   private def enterLoop(conf: org.apache.spark.sql.RuntimeConfig,
                         key: String): Unit = lock.synchronized {
-    if (activeRuns == 0) {
-      savedCoalesce = conf.getOption(key)
-      conf.set(key, "false")
+    active.get(conf) match {
+      case None =>
+        val saved = conf.getOption(key)
+        conf.set(key, "false")
+        active(conf) = (1, saved)
+      case Some((n, saved)) => active(conf) = (n + 1, saved)
     }
-    activeRuns += 1
   }
 
   private def exitLoop(conf: org.apache.spark.sql.RuntimeConfig,
                        key: String): Unit = lock.synchronized {
-    activeRuns -= 1
-    if (activeRuns == 0) savedCoalesce match {
-      case Some(v) => conf.set(key, v)
-      case None    => conf.unset(key)
+    active.get(conf) match {
+      case Some((1, saved)) =>
+        active.remove(conf)
+        saved match {
+          case Some(v) => conf.set(key, v)
+          case None    => conf.unset(key)
+        }
+      case Some((n, saved)) => active(conf) = (n - 1, saved)
+      case None             => () // unbalanced exit — ignore
     }
   }
 

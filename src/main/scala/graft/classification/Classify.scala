@@ -103,8 +103,12 @@ object Classify {
     val model = RandomForestClassificationModel.load(s"$path/model")
     val json = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$path/feature_columns.json"))
+    // single-pass JSON unescape, symmetric with the writer's Json.str
+    // escaping (ordered chained .replace's mis-decode backslash-before-
+    // quote sequences — the corruption class CookieParse.unescapeJson
+    // exists to avoid)
     val cols = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
-      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .map(m => graft.webgraph.CookieParse.unescapeJson(m.group(1)))
       .toArray
     (model, cols)
   }

@@ -139,14 +139,28 @@ object Dedup {
       .select("a_id", "b_id")
   }
 
+  /** Default SimHash token hash: xxhash64 — the fast codegen'd production
+    * path (one hash instruction per token, no string materialization). */
+  def xxTokenHash(t: Column): Column = xxhash64(t)
+
+  /** MD5-derived 64-bit token hash: the first 16 hex chars of md5(t) as a
+    * two's-complement BIGINT (hi<<32 | lo). Slower than [[xxTokenHash]] but
+    * computable bit-for-bit by any engine with md5 — it is what makes the
+    * d4 SimHash oracle fully DuckDB-mirrorable (no Spark-only hash, no
+    * sidecar files crossing the engine boundary). */
+  def md5TokenHash(t: Column): Column =
+    shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+
   /** 64-bit SimHash over whitespace tokens (term-frequency weighted):
-    * per token t, h = xxhash64(t); bit i votes +1 if set else −1; result bit
+    * per token t, h = tokenHash(t); bit i votes +1 if set else −1; result bit
     * i is 1 iff the vote sum is positive. Shaped as explode(tokens) ×
     * explode(bits 0..63) → two grouped sums — pure codegen'd aggregation. */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              tokenHash: Column => Column = xxTokenHash): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"), tokenHash(col("t")).as("h"))
     val votes = toks
       .select(col("id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
       .groupBy(col("id"), col("bit"))
@@ -163,10 +177,11 @@ object Dedup {
     * generation is an equi-join on (chunkIdx, chunkValue), never all-pairs.
     * Requires maxHam < blocks for guaranteed recall. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHam: Int = 6, blocks: Int = 8): DataFrame = {
+                   maxHam: Int = 6, blocks: Int = 8,
+                   tokenHash: Column => Column = xxTokenHash): DataFrame = {
     require(maxHam < blocks, "pigeonhole recall needs maxHam < blocks")
     val width = 64 / blocks
-    val sh = simHash(docs, idCol, textCol)
+    val sh = simHash(docs, idCol, textCol, tokenHash)
     val chunkCols = (0 until blocks).map { c =>
       struct(lit(c).as("ci"),
         shiftright(col("simhash"), c * width)

@@ -47,20 +47,25 @@ object CookieExpressions {
     }.toArray[Any])
   }
 
-  /** Row-hot static entry: request headers JSON → `get` cookie triples.
-    * FIRST Cookie header only — the reference's MultiDict index ignores
-    * repeated instances (http_storage_edges.py:90-95). */
-  def getTriples(reqattr: UTF8String): ArrayData =
-    triples(CookieParse.firstHeaderValue(s(reqattr), "Cookie").toSeq
+  /** Row-hot static entry: (request, response) headers JSON → `get` cookie
+    * triples. FIRST Cookie header across the COMBINED req+resp list — the
+    * reference builds one MultiDict over both lists and its index ignores
+    * repeated instances (http_storage_edges.py:84-95); scanning only
+    * reqattr would diverge if a Cookie header ever appeared response-side. */
+  def getTriples(reqattr: UTF8String, respattr: UTF8String): ArrayData =
+    triples(CookieParse.firstHeaderValueIn(s(reqattr), s(respattr), "Cookie")
+      .toSeq
       .flatMap(CookieParse.parseCookieHeader)
       .map { case (n, v) => (n, "get", CookieParse.getCookieJson(n, v)) })
 
-  /** Row-hot static entry: response headers JSON → `set` cookie triples —
-    * the FIRST "Set-Cookie" instance then the FIRST "set-cookie" instance
-    * (MultiDict-index parity, http_storage_edges.py:96-103; further
+  /** Row-hot static entry: (request, response) headers JSON → `set` cookie
+    * triples — the FIRST "Set-Cookie" instance then the FIRST "set-cookie"
+    * instance, each scanned across the combined req+resp list
+    * (MultiDict-index parity, http_storage_edges.py:84-103; further
     * repeats of either spelling are ignored as the reference does). */
-  def setTriples(respattr: UTF8String): ArrayData = {
-    val hv = (n: String) => CookieParse.firstHeaderValue(s(respattr), n).toSeq
+  def setTriples(reqattr: UTF8String, respattr: UTF8String): ArrayData = {
+    val hv = (n: String) =>
+      CookieParse.firstHeaderValueIn(s(reqattr), s(respattr), n).toSeq
     triples((hv("Set-Cookie") ++ hv("set-cookie"))
       .flatMap(CookieParse.parseSetCookie)
       .map(c => (c.name, "set", CookieParse.setCookieJson(c))))
@@ -95,36 +100,42 @@ case class JsCookiePairsExpression(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `cookie_get_triples(reqattr)` — fused header scan + Cookie parse. */
-case class CookieGetTriplesExpression(child: Expression)
-    extends UnaryExpression {
+/** `cookie_get_triples(reqattr, respattr)` — fused combined-list header
+  * scan + Cookie parse. */
+case class CookieGetTriplesExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
   override def dataType: DataType = CookieExpressions.tripleArray
   override def prettyName: String = "cookie_get_triples"
 
-  override def nullSafeEval(h: Any): Any =
-    CookieExpressions.getTriples(h.asInstanceOf[UTF8String])
+  override def nullSafeEval(req: Any, resp: Any): Any =
+    CookieExpressions.getTriples(req.asInstanceOf[UTF8String],
+      resp.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, h =>
-      s"${ev.value} = ${CookieExpressions.owner}.MODULE$$.getTriples($h);")
+    nullSafeCodeGen(ctx, ev, (req, resp) =>
+      s"${ev.value} = ${CookieExpressions.owner}.MODULE$$.getTriples($req, $resp);")
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
-/** `cookie_set_triples(respattr)` — fused header scan + Set-Cookie parse. */
-case class CookieSetTriplesExpression(child: Expression)
-    extends UnaryExpression {
+/** `cookie_set_triples(reqattr, respattr)` — fused combined-list header
+  * scan + Set-Cookie parse. */
+case class CookieSetTriplesExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
   override def dataType: DataType = CookieExpressions.tripleArray
   override def prettyName: String = "cookie_set_triples"
 
-  override def nullSafeEval(h: Any): Any =
-    CookieExpressions.setTriples(h.asInstanceOf[UTF8String])
+  override def nullSafeEval(req: Any, resp: Any): Any =
+    CookieExpressions.setTriples(req.asInstanceOf[UTF8String],
+      resp.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, h =>
-      s"${ev.value} = ${CookieExpressions.owner}.MODULE$$.setTriples($h);")
+    nullSafeCodeGen(ctx, ev, (req, resp) =>
+      s"${ev.value} = ${CookieExpressions.owner}.MODULE$$.setTriples($req, $resp);")
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

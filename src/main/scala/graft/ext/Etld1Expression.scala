@@ -101,10 +101,22 @@ object GraftExtensions {
         require(children.size == 2, "js_cookie_pairs takes (value, operation)")
         JsCookiePairsExpression(children.head, children(1)): Expression
       }),
-    unary("cookie_get_triples", classOf[CookieGetTriplesExpression],
-      CookieGetTriplesExpression(_)),
-    unary("cookie_set_triples", classOf[CookieSetTriplesExpression],
-      CookieSetTriplesExpression(_)))
+    (new FunctionIdentifier("cookie_get_triples"),
+      new ExpressionInfo(classOf[CookieGetTriplesExpression].getName,
+        "cookie_get_triples"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "cookie_get_triples takes (reqattr, respattr)")
+        CookieGetTriplesExpression(children.head, children(1)): Expression
+      }),
+    (new FunctionIdentifier("cookie_set_triples"),
+      new ExpressionInfo(classOf[CookieSetTriplesExpression].getName,
+        "cookie_set_triples"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "cookie_set_triples takes (reqattr, respattr)")
+        CookieSetTriplesExpression(children.head, children(1)): Expression
+      }))
 
   private[ext] val probeDescriptors = Seq(
     unary("cookie_value_probes", classOf[CookieValueProbesExpression],

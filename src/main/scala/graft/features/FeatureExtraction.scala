@@ -120,17 +120,4 @@ object FeatureExtraction {
     out
   }
 
-  /** LEGACY substring labelling — real Adblock-Plus rule semantics live in
-    * [[graft.features.Adblock.labelNodes]] (use that; this survives only as
-    * the simplest pattern-table join shape for tests): label = true iff any
-    * pattern is a substring of the node url (A11 disjunction). */
-  def label(nodes: DataFrame, patterns: DataFrame): DataFrame = {
-    val p = broadcast(patterns.select(col("pattern")))
-    classifiable(nodes)
-      .select(col("visit_id"), col("top_level_url"), col("name"))
-      .join(p, col("name").contains(col("pattern")), "left")
-      .groupBy(col("visit_id"), col("top_level_url"), col("name"))
-      .agg(max(when(col("pattern").isNotNull, lit(true)).otherwise(lit(false)))
-        .as("label"))
-  }
 }

@@ -73,14 +73,38 @@ object EdgeStream {
     * `compactEvery` batches the union is re-deduped + hash-repartitioned +
     * checkpointed (the "global dedup as compaction"), bounding plan depth.
     * A restart pays ONE recovery read of the accumulated table, not one
-    * per batch. At corpus scale swap `dropDuplicates` for
-    * `dropDuplicatesWithinWatermark` to bound dedup state. */
+    * per batch.
+    *
+    * Durability: each delta lands in a batchId-keyed partition directory
+    * (`batch=<id>/`) written with OVERWRITE, so a foreachBatch replay after
+    * a post-append failure rewrites the same directory instead of
+    * double-appending — external readers of `path` never see duplicate
+    * edges from a retried batch (they union partitions of a standard
+    * partitioned parquet table).
+    *
+    * State bound: `dedupWithinWatermark = Some("10 minutes")` swaps the
+    * unbounded stateful dropDuplicates for event-time-bounded
+    * `dropDuplicatesWithinWatermark` (mandatory at corpus scale — dedup
+    * state evicts past the watermark). A duplicate arriving AFTER its
+    * window re-emits from the dedup, but the known-set anti-join already
+    * absorbs exactly that case (it exists for the restart/replay path), so
+    * the edge table and the ranks are unchanged — only streaming-state
+    * memory changes. */
   def pageRankTrigger(links: Dataset[Link], path: String, checkpoint: String,
                       numPartitions: Int = 8, tol: Double = 1e-6,
-                      compactEvery: Int = 8)
+                      compactEvery: Int = 8,
+                      dedupWithinWatermark: Option[String] = None)
                      (onRanks: (Long, DataFrame, Int) => Unit): DataStreamWriter[_] = {
     val spark = links.sparkSession
     val sc = spark.sparkContext
+    // batch partition dirs are keyed (runTag, batchId): batchId alone would
+    // collide across RESTARTS WITH A FRESH CHECKPOINT (batch ids restart at
+    // 0) and the idempotent overwrite would clobber an earlier run's
+    // partition. Same-checkpoint replays of an uncommitted batch are safe
+    // regardless of the tag: the recovery read puts the failed attempt's
+    // rows in the known set, the replayed delta comes back empty, and the
+    // write is skipped.
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
     var warm: Option[DataFrame] = None
     var known: Option[DataFrame] = None // deduped edges: checkpoint ∪ deltas
     var knownIds = Set.empty[Int]       // RDD ids pinned by the known chain
@@ -97,9 +121,17 @@ object EdgeStream {
     def release(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
-    links.toDF()
-      .select(xxhash64(col("src")).as("src_id"), xxhash64(col("dst")).as("dst_id"))
-      .dropDuplicates("src_id", "dst_id") // stateful streaming dedup: O(batch)
+    val hashed = links.toDF()
+      .select(xxhash64(col("src")).as("src_id"), xxhash64(col("dst")).as("dst_id"),
+        col("ts"))
+    val deduped = dedupWithinWatermark match {
+      case Some(delay) => // bounded state: evicts keys past the watermark
+        hashed.withWatermark("ts", delay)
+          .dropDuplicatesWithinWatermark("src_id", "dst_id")
+      case None => // stateful streaming dedup: O(batch) lookups, all-history keys
+        hashed.dropDuplicates("src_id", "dst_id")
+    }
+    deduped.drop("ts")
       .writeStream
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
@@ -111,14 +143,20 @@ object EdgeStream {
           // Existence is probed explicitly — a transient READ failure on an
           // existing table must fail the batch (and be retried), not be
           // silently mistaken for a fresh start. "Exists" means the dir
-          // holds at least one parquet part (an empty dir is a fresh start,
-          // not an unreadable table)
+          // holds at least one batch=<id> partition with a parquet part (an
+          // empty dir is a fresh start, not an unreadable table)
           val hPath = new org.apache.hadoop.fs.Path(path)
           val fs = hPath.getFileSystem(sc.hadoopConfiguration)
           val hasTable = fs.exists(hPath) &&
-            fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
+            fs.listStatus(hPath).exists(d => d.isDirectory &&
+              d.getPath.getName.startsWith("batch=") &&
+              fs.listStatus(d.getPath)
+                .exists(_.getPath.getName.endsWith(".parquet")))
           if (hasTable) {
+            // partition discovery surfaces the batch column — drop it: the
+            // known set is keyed on edges only
             val (base, ids) = ckpt(spark.read.parquet(path)
+              .select(col("src_id"), col("dst_id"))
               .dropDuplicates("src_id", "dst_id")
               .repartition(numPartitions, col("src_id"), col("dst_id")))
             known = Some(base); knownIds ++= ids
@@ -133,24 +171,43 @@ object EdgeStream {
           case None => ckpt(batch)
         }
         knownIds ++= dIds
-        delta.write.mode("append").parquet(path)
+        // idempotent append: a replayed batch (foreachBatch failure after a
+        // committed write, task retry) OVERWRITES its own batch=<id>
+        // partition instead of appending a second copy — external readers
+        // of `path` never see duplicated edges from a retry. Crucially the
+        // in-memory `known`/`warm` state is swapped ONLY at the end of the
+        // batch (the commit point below): an intra-run replay after a
+        // mid-batch failure therefore recomputes the IDENTICAL delta (known
+        // is unchanged) and rewrites the same content. An EMPTY delta never
+        // writes at all: empty means every edge of this batch is already
+        // durable (its own partition from a pre-restart attempt, or earlier
+        // batches), so skipping is always safe — and overwriting would
+        // erase a replayed batch's partition on the restart path, where the
+        // recovered known-set already contains its rows.
+        if (!delta.isEmpty)
+          delta.write.mode("overwrite")
+            .parquet(s"$path/batch=${runTag}_$batchId")
         val grown = known.map(_.unionByName(delta)).getOrElse(delta)
-        deltasSinceCompact += 1
-        known = Some(
-          if (deltasSinceCompact >= compactEvery) {
+        val (candidate, candIds, nextSince) =
+          if (deltasSinceCompact + 1 >= compactEvery) {
             val (compacted, cIds) = ckpt(grown
               .dropDuplicates("src_id", "dst_id")
               .repartition(numPartitions, col("src_id"), col("dst_id")))
-            release(knownIds); knownIds = cIds; deltasSinceCompact = 0
-            compacted
-          } else grown)
-        val edges = known.get
+            (compacted, cIds, 0)
+          } else (grown, Set.empty[Int], deltasSinceCompact + 1)
+        val edges = candidate
           .select(col("src_id").as("src"), col("dst_id").as("dst"))
         val res = graft.algo.PageRank.run(edges,
           graft.algo.PageRank.Params(tol = tol, numPartitions = numPartitions),
           None, warm)
         val (newWarm, wIds) = ckpt(res.state.select(col("id"), col("rank")))
         onRanks(batchId, res.state, res.steps)
+        // ---- commit point: the batch fully succeeded — swap state --------
+        // (a failed attempt's compaction blocks can leak until restart;
+        // rare, bounded, and preferable to releasing blocks a replay of
+        // this very batch would still read)
+        if (nextSince == 0) { release(knownIds); knownIds = candIds }
+        known = Some(candidate); deltasSinceCompact = nextSince
         release(warmIds); warmIds = wIds; warm = Some(newWarm)
       }
   }

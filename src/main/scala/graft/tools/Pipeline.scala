@@ -63,10 +63,16 @@ object Pipeline {
         seed = 42L, partitions = partitions)
     }
 
+    // per-stage memory/spill accounting (soak protocol — BASELINE.md)
+    val mem = new graft.bench.StageMemoryTracker
+    spark.sparkContext.addSparkListener(mem)
+
+    mem.phase("extract_build")
     val (_, edgesDs, vertices) = EdgeBuilder.build(pages)
     edgesDs.write.mode(SaveMode.Overwrite).parquet(s"$out/edges")
     vertices.write.mode(SaveMode.Overwrite).parquet(s"$out/vertices")
 
+    mem.phase("degrees")
     val edges = spark.read.parquet(s"$out/edges")
       .select(col("src_id").as("src"), col("dst_id").as("dst"))
     EdgeBuilder.degrees(spark.read.parquet(s"$out/edges")
@@ -78,19 +84,24 @@ object Pipeline {
     val prCfg = store.map(s => Superstep.Config(partitions, 200, tol,
       checkpointEvery = 5, store = Some(s), verbose = true))
 
+    mem.phase("pagerank")
     val pr = PageRank.run(edges,
       PageRank.Params(tol = tol, maxIter = 200, numPartitions = partitions),
       prCfg)
     pr.state.write.mode(SaveMode.Overwrite).parquet(s"$out/pagerank")
 
+    mem.phase("components")
     val cc = ConnectedComponents.run(edges, partitions)
     cc.state.write.mode(SaveMode.Overwrite).parquet(s"$out/components")
 
+    mem.phase("labels")
     val lp = LabelPropagation.run(edges, partitions)
     lp.state.write.mode(SaveMode.Overwrite).parquet(s"$out/labels")
 
+    mem.phase("triangles")
     val (tri, triTotal) = TriangleCount.perVertexAndTotal(edges, partitions)
     tri.write.mode(SaveMode.Overwrite).parquet(s"$out/triangles")
+    mem.finish()
 
     val metrics = Seq(
       ("pagerank", pr.steps, pr.metrics.map(_.seconds).sum),
@@ -101,7 +112,8 @@ object Pipeline {
       .mkString("[", ",", s"""],"triangles_total":$triTotal""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$out/metrics.json"),
-      s"""{"stages":$metrics}""")
+      s"""{"stages":$metrics,"memory":${mem.toJson}}""")
+    println(s"pipeline memory: ${mem.toJson}")
     println(s"pipeline complete -> $out (triangles=$triTotal, pr_steps=${pr.steps})")
     spark.stop()
   }

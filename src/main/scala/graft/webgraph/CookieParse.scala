@@ -156,6 +156,28 @@ object CookieParse {
     }
   }
 
+  /** FIRST value of a header across the CONCATENATION of the request and
+    * response header lists — the reference builds ONE MultiDict over
+    * reqattr+respattr combined (http_storage_edges.py:84-89), so a Cookie
+    * header in respattr (or Set-Cookie in reqattr) is still found; request
+    * entries win ties because they precede response entries in the
+    * combined list. Exception parity: the reference `json.loads`es BOTH
+    * non-null sides before any lookup, so one malformed side (the "N/A" /
+    * "CS" string sentinels) throws and the whole row yields NO cookies even
+    * if the other side is cookie-bearing — mirrored here by the
+    * starts-with-'[' gate (null/empty = the reference's pd.isna skip).
+    * (Deviation kept: beyond that gate this is a lenient structural scan,
+    * not a strict JSON parse — a string that starts with '[' but is
+    * otherwise malformed yields its scannable pairs instead of an
+    * exception.) */
+  def firstHeaderValueIn(reqJson: String, respJson: String,
+                         name: String): Option[String] = {
+    def malformed(h: String) =
+      h != null && h.nonEmpty && !h.trim.startsWith("[")
+    if (malformed(reqJson) || malformed(respJson)) None
+    else firstHeaderValue(reqJson, name).orElse(firstHeaderValue(respJson, name))
+  }
+
   /** Single-pass JSON string-escape decoder (the former chained
     * `.replace`s corrupted "\\\\n" — escaped backslash + n — into a
     * newline; json.loads, which the reference uses, does not). */

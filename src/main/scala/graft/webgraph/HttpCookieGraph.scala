@@ -32,11 +32,15 @@ object HttpCookieGraph {
         col("respattr").contains("set-cookie") ||
         col("reqattr").contains("Cookie"))
 
+    // both header lists feed BOTH scans: the reference indexes one MultiDict
+    // built over reqattr+respattr combined (http_storage_edges.py:84-89)
     val detailed = bearing
       .withColumn("gets",
-        call_function("cookie_get_triples", coalesce(col("reqattr"), lit(""))))
+        call_function("cookie_get_triples",
+          coalesce(col("reqattr"), lit("")), coalesce(col("respattr"), lit(""))))
       .withColumn("sets",
-        call_function("cookie_set_triples", coalesce(col("respattr"), lit(""))))
+        call_function("cookie_set_triples",
+          coalesce(col("reqattr"), lit("")), coalesce(col("respattr"), lit(""))))
       .withColumn("d", explode(concat(col("gets"), col("sets"))))
       .select(col("visit_id"), col("dst").as("req_url"),
         col("d._1").as("cname"), col("d._2").as("action"),

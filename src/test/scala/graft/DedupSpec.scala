@@ -84,6 +84,37 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("md5TokenHash: engine-portable 64-bit token hash matches JDK MD5, " +
+    "and the md5-variant pigeonhole pairs equal brute-force hamming pairs") {
+    import org.apache.spark.sql.functions.col
+    // bit-for-bit parity with the definition both engines implement:
+    // first 8 bytes of md5(token), big-endian, two's complement
+    val toks = Seq("hello", "a", "", "café", "x=1; y").toDF("t")
+    val got = toks.select(Dedup.md5TokenHash(col("t")).as("h"), col("t"))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    for ((t, h) <- got) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val expect = java.nio.ByteBuffer.wrap(md, 0, 8).getLong
+      assert(h === expect, s"token '$t'")
+    }
+    // the d4-oracle equivalence argument, pinned locally: with maxHam <
+    // blocks the pigeonhole-blocked join returns EXACTLY the ≤maxHam pairs
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, base + " tail"), (5L, unrelated + " x"))
+    val sigs = Dedup.simHash(d, "doc_id", "text", Dedup.md5TokenHash)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 10
+    } yield (a, b)).toSet
+    val blocked = Dedup.simHashPairs(d, "doc_id", "text", maxHam = 10,
+        blocks = 16, tokenHash = Dedup.md5TokenHash)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === brute)
+  }
+
   test("simHash is deterministic across partitionings") {
     val d1 = docs((1L, base), (2L, nearDup), (3L, unrelated)).repartition(1)
     val d8 = docs((1L, base), (2L, nearDup), (3L, unrelated)).repartition(8)

@@ -250,12 +250,15 @@ class FeatureSpec extends AnyFunSuite {
       .count() === 0)
 
     // labelling runs over the NODE table (as in the reference) — call-stack
-    // script urls that appear only as edge endpoints are not labeled rows
-    val patterns = Seq("tracker.", "/pixel").toDF("pattern")
-    val labels = FeatureExtraction.label(nodesU, patterns)
-      .collect().map(r => r.getAs[String]("name") -> r.getAs[Boolean]("label")).toMap
-    assert(labels("http://cdn.example/pixel.gif") === true)
-    assert(labels("http://static.example/lib.js") === false)
-    assert(labels("http://t.example/final") === false)
+    // script urls that appear only as edge endpoints are not labeled rows.
+    // (The legacy substring-join labeller was deleted round 4; this is the
+    // real ABP path, with plain rules acting as substring patterns.)
+    val rules = features.Adblock.parseList(Seq("tracker.", "/pixel"))
+    val labels = features.Adblock.labelNodes(nodesU, Seq(rules))
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[java.lang.Boolean]("label")).map(_.booleanValue)).toMap
+    assert(labels("http://cdn.example/pixel.gif") === Some(true))
+    assert(labels("http://static.example/lib.js") === Some(false))
+    assert(labels("http://t.example/final") === Some(false))
   }
 }

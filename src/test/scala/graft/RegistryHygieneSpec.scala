@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry queries must be leak-free in ANY host session — not only under
+  * Bench/Verify's blanket releaseScratch sweep (VERDICT r3 "what's wrong"
+  * #2): consuming a query standalone must leave no new retained RDD blocks
+  * behind (deltas asserted against a before-snapshot — absolute counts are
+  * suite-order-dependent, see ROUND_NOTES gotchas). */
+class RegistryHygieneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def retainedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("if1 (shared indirect-edge IR) retains no blocks after standalone use") {
+    val before = retainedIds
+    val df = SparkEntry.queries("if1_indirect_counts")(
+      spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    assert(retainedIds.diff(before).isEmpty,
+      "if1 must not pin block-manager memory (scratchTable, not localCheckpoint)")
+  }
+
+  test("relational/text registry queries retain no blocks standalone") {
+    // spot-check a representative non-iterative slice (the g* queries
+    // return the superstep state itself — their single retained block is
+    // the result the caller consumes, released by the documented
+    // releaseScratch contract)
+    for (name <- Seq("p4_pred_mix", "d4_simhash_pairs", "af1_cookie_stats",
+        "wg6_local_storage")) {
+      val before = retainedIds
+      assert(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count() >= 0)
+      assert(retainedIds.diff(before).isEmpty, s"$name leaked blocks")
+    }
+  }
+}

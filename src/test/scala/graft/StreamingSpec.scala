@@ -123,6 +123,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRankTrigger: bounded-state watermarked dedup — in-window " +
+    "duplicates collapse, table and ranks match the unbounded variant") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.model.Link]
+    val edgePath = Files.createTempDirectory("graft_prtrig3_edges").toString
+    val ckpt = Files.createTempDirectory("graft_prtrig3_ckpt").toString
+    val base = 1700000000000L
+    // duplicates within one minute — all inside the 10-minute dedup window
+    val mk = (s: String, d: String, offSec: Int) =>
+      graft.model.Link(s, d, new Timestamp(base + offSec * 1000L))
+    mem.addData((0 until 5).map(i => mk(s"p$i", s"p${i + 1}", i)) ++
+      Seq(mk("p0", "p1", 30), mk("p0", "hub", 10), mk("p0", "hub", 40)))
+    var ranksN = 0L
+    val q = EdgeStream.pageRankTrigger(mem.toDS(), edgePath, ckpt,
+      numPartitions = 4, dedupWithinWatermark = Some("10 minutes")) {
+      (_, ranks, _) => ranksN = ranks.count()
+    }.start()
+    q.awaitTermination(120000)
+    assert(ranksN === 7L) // p0..p5 + hub
+    val disk = spark.read.parquet(edgePath).select("src_id", "dst_id")
+    assert(disk.count() === 6L, "watermarked dedup must collapse in-window dupes")
+    assert(disk.distinct().count() === 6L)
+  }
+
+  test("pageRankTrigger: a replayed batch (failure after the delta append) " +
+    "never duplicates or erases table rows — batchId-keyed idempotent writes") {
+    // file source (not MemoryStream): checkpoint recovery across query
+    // instances is what replays the batch
+    val srcDir = Files.createTempDirectory("graft_prtrig4_src").toString
+    val edgePath = Files.createTempDirectory("graft_prtrig4_edges").toString
+    val ckpt = Files.createTempDirectory("graft_prtrig4_ckpt").toString
+    val base = new Timestamp(1700000000000L)
+    ((0 until 5).map(i => (s"p$i", s"p${i + 1}", base)) :+
+      (("p0", "hub", base))).toDF("src", "dst", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    def linkStream = spark.readStream
+      .schema("src string, dst string, ts timestamp")
+      .parquet(srcDir).as[graft.model.Link]
+
+    // run 1: fail AFTER the delta append (inside onRanks) — the batch's
+    // partition is on disk but the batch never committed
+    val q1 = EdgeStream.pageRankTrigger(linkStream, edgePath, ckpt,
+      numPartitions = 4) { (_, _, _) =>
+      sys.error("injected post-append failure")
+    }.start()
+    intercept[Exception] { q1.awaitTermination(120000) }
+    val afterFail = spark.read.parquet(edgePath)
+      .select("src_id", "dst_id").collect().toSet
+    assert(afterFail.size === 6, "failed attempt still appended its delta once")
+
+    // run 2, SAME checkpoint: Structured Streaming replays the uncommitted
+    // batch; the recovered known-set makes its delta empty, the write is
+    // skipped (not an erasing overwrite), and the run completes
+    var ranksN = 0L
+    val q2 = EdgeStream.pageRankTrigger(linkStream, edgePath, ckpt,
+      numPartitions = 4) { (_, ranks, _) => ranksN = ranks.count() }.start()
+    q2.awaitTermination(120000)
+    assert(ranksN === 7L)
+    val afterReplay = spark.read.parquet(edgePath)
+      .select("src_id", "dst_id").collect().toSet
+    assert(afterReplay === afterFail,
+      "replay must neither duplicate nor erase the batch partition")
+  }
+
   test("PageRank warm start: immediate on unchanged graph, fewer steps " +
     "after a small edge delta") {
     val g0 = ((0L until 5L).map(i => (i, i + 1)) ++ Seq((0L, 99L), (3L, 99L)))

@@ -235,7 +235,7 @@ class WebGraphSpec extends AnyFunSuite {
     val hdr =
       """[["Cookie","a=1; b=x\"y; c; d=e=f"],["X","z"],["Cookie","zz=ignored"]]"""
     val gets = spark.sql(
-      s"""SELECT explode(cookie_get_triples('${hdr.replace("\\", "\\\\").replace("'", "''")}')) AS t""")
+      s"""SELECT explode(cookie_get_triples('${hdr.replace("\\", "\\\\").replace("'", "''")}', '')) AS t""")
       .select("t._1", "t._3").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(gets.keySet === Set("a", "b", "d"))
@@ -243,11 +243,26 @@ class WebGraphSpec extends AnyFunSuite {
     assert(gets("d").contains("\"value\":\"e=f\""))
     val sc = """[["Set-Cookie","t=1; Path=/; Secure; SameSite=None"]]"""
     val sets = spark.sql(
-      s"SELECT explode(cookie_set_triples('$sc')) AS t").select("t._3")
+      s"SELECT explode(cookie_set_triples('', '$sc')) AS t").select("t._3")
       .collect().map(_.getString(0))
     assert(sets.length === 1 && sets(0).contains("\"secure\":true") &&
       sets(0).contains("\"samesite\":\"None\"") &&
       sets(0).contains("\"path\":\"/\""))
+    // combined-list MultiDict parity (http_storage_edges.py:84-89): a
+    // request-side Set-Cookie is still found by the set scan, the request
+    // entry wins over a response-side repeat, and one malformed side
+    // (the reference's json.loads exception) suppresses the WHOLE row
+    val both = spark.sql(
+      "SELECT cookie_set_triples('[[\"Set-Cookie\",\"rq=1\"]]'," +
+        " '[[\"Set-Cookie\",\"rs=2\"]]') AS s," +
+        " cookie_get_triples('', '[[\"Cookie\",\"cv=9\"]]') AS g," +
+        " cookie_get_triples('N/A', '[[\"Cookie\",\"cv=9\"]]') AS m")
+      .collect()(0)
+    assert(both.getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getString(0)) === Seq("rq"))
+    assert(both.getSeq[org.apache.spark.sql.Row](1)
+      .map(_.getString(0)) === Seq("cv"))
+    assert(both.getSeq[org.apache.spark.sql.Row](2).isEmpty)
     val js2 = spark.sql(
       "SELECT js_cookie_pairs('n=v; Max-Age=3; HttpOnly', 'set') AS p," +
         " js_cookie_pairs('a=1; b=2', 'get') AS g").collect()(0)
