@@ -79,8 +79,15 @@ object Pipeline {
         .as[graft.model.Edge])
       .write.mode(SaveMode.Overwrite).parquet(s"$out/degrees")
 
-    val store = arg(args, "checkpoint").map(dir =>
-      new ParquetStore(dir, arg(args, "run-id").getOrElse("pipeline")))
+    // --store snapshot selects the Iceberg-shaped store (snapshot log +
+    // manifests + version-hint commit); default stays the plain parquet one
+    val store = arg(args, "checkpoint").map { dir =>
+      val runId = arg(args, "run-id").getOrElse("pipeline")
+      arg(args, "store").getOrElse("parquet") match {
+        case "snapshot" => new graft.checkpoint.SnapshotStore(dir, runId)
+        case _          => new ParquetStore(dir, runId)
+      }
+    }
     val prCfg = store.map(s => Superstep.Config(partitions, 200, tol,
       checkpointEvery = 5, store = Some(s), verbose = true))
 
