@@ -132,12 +132,18 @@ object IndirectEdges {
     val gets = edges.where(col("action").isin(getActions: _*))
       .select(col("visit_id"), col("src"), col("dst"))
 
-    // J7 set → get
+    // J7 set → get. The reference dedups pairs AFTER the merge
+    // (utils.py:420 drop_duplicates); within one (visit, key) cell the pair
+    // set is the cross product of the distinct setter and getter srcs, so
+    // distinct-after-join ≡ distinct-each-side-then-join — and the join
+    // cost drops from |set rows| × |get rows| per cell (quadratic in raw
+    // event multiplicity — the sf1 soak measured exactly that blowup) to
+    // |distinct setters| × |distinct getters|.
     val setGet = sets.select(col("visit_id"), col("src").as("s_src"), col("dst"))
-      .join(gets.select(col("visit_id"), col("src").as("g_src"), col("dst")),
-        Seq("visit_id", "dst"))
-      .select(col("visit_id"), col("s_src"), col("g_src"), col("dst"))
       .distinct()
+      .join(gets.select(col("visit_id"), col("src").as("g_src"), col("dst"))
+        .distinct(),
+        Seq("visit_id", "dst"))
       .groupBy(col("visit_id"), col("s_src").as("src"), col("g_src").as("dst"))
       .agg(count(lit(1)).as("attr"))
       .withColumn("type", lit("set_get"))
@@ -151,16 +157,19 @@ object IndirectEdges {
     val ranked = allSets.withColumn("rn", row_number().over(w))
     val firstSet = ranked.where(col("rn") === 1)
       .select(col("visit_id"), col("src").as("f_src"), col("dst"))
+    // later-setter side deduped BEFORE the join (same argument as set_get:
+    // firstSet is exactly one row per (visit, key), so pair-distinct ≡
+    // side-distinct) — the join is |distinct later setters| per key, not
+    // |later set rows|
     val laterSets = ranked.where(col("rn") > 1)
       .select(col("visit_id"), col("src").as("l_src"), col("dst"))
+      .distinct()
     // reference quirk (utils.py:81-105 + 433): find_modified_storage
     // groups per (src, dst) INSIDE each storage-key group and the per-key
     // frames are concatenated WITHOUT re-grouping — so the output is one
     // row PER SHARED KEY with attr = 1, not one grouped row per pair
     // (unlike set_get, whose groupby runs across keys)
     val setModify = firstSet.join(laterSets, Seq("visit_id", "dst"))
-      .select(col("visit_id"), col("f_src"), col("l_src"), col("dst"))
-      .distinct()
       .select(col("visit_id"), col("f_src").as("src"), col("l_src").as("dst"),
         lit(1L).as("attr"))
       .withColumn("type", lit("set_modify"))
@@ -251,19 +260,30 @@ object IndirectEdges {
     // not =!= (which drops nulls)
     val http = edges.where(!(col("reqattr") <=> "CS") &&
       !(col("src") <=> "N/A") && !(col("action") <=> "CS"))
-    // probe extraction (header JSON parse + digests) runs once per first-hop
-    // row BEFORE the self-join; rows with no Cookie values drop out of the
-    // join's left side entirely (present ≡ false for them), and the per-pair
-    // predicate is substring containment only
-    http.select(col("visit_id"), col("src").as("src_x"), col("dst").as("mid"),
-        call_function("cookie_header_probes", col("reqattr")).as("probes"))
+    // The reference counts RAW pair multiplicity (utils.py:484 groupby size
+    // over every matched merge row — no dedup), so the sides cannot simply
+    // be distinct'd. Instead each side pre-aggregates to its distinct
+    // predicate-relevant combination with a multiplicity, the join runs on
+    // the (small) combination space, and attr = Σ nx·ny reproduces the raw
+    // pair count exactly. The sf1 soak measured the raw-pair variant at
+    // |hop1 rows| × |hop2 rows| per (visit, mid) cell — quadratic in event
+    // multiplicity; this shape is quadratic only in DISTINCT combinations.
+    // Probe extraction (header JSON parse + digests) also drops from
+    // once-per-row to once-per-distinct-reqattr-group.
+    val hop1 = http.where(col("reqattr").isNotNull)
+      .groupBy(col("visit_id"), col("src").as("src_x"), col("dst").as("mid"),
+        col("reqattr"))
+      .agg(count(lit(1)).as("nx"))
+      .withColumn("probes", call_function("cookie_header_probes", col("reqattr")))
       .where(size(col("probes")) > 0)
-      .join(http.select(col("visit_id"), col("src").as("mid"),
-        col("dst").as("dst_y")), Seq("visit_id", "mid"))
+      .drop("reqattr")
+    val hop2 = http
+      .groupBy(col("visit_id"), col("src").as("mid"), col("dst").as("dst_y"))
+      .agg(count(lit(1)).as("ny"))
+    hop1.join(hop2, Seq("visit_id", "mid"))
       .where(call_function("contains_any", col("dst_y"), col("probes")))
-      .select(col("visit_id"), col("src_x").as("src"), col("dst_y").as("dst"))
-      .groupBy(col("visit_id"), col("src"), col("dst"))
-      .agg(count(lit(1)).as("attr"))
+      .groupBy(col("visit_id"), col("src_x").as("src"), col("dst_y").as("dst"))
+      .agg(sum(col("nx") * col("ny")).as("attr"))
       .withColumn("type", lit("get_url"))
   }
 }
