@@ -14,7 +14,7 @@ import graft.model.Page
   *   spark-submit --class graft.tools.Pipeline <jar> \
   *     --pages <parquet dir>  (url, warc_ts, html, text, lang)  \
   *     --out <dir>  [--partitions N] [--tol 1e-6] [--checkpoint <dir>] \
-  *     [--run-id <id>]
+  *     [--run-id <id>] [--store parquet|snapshot] [--expire-keep K]
   *
   * Stages (each written as parquet under --out; resumable through
   * --checkpoint + --run-id mid-PageRank):
@@ -96,6 +96,16 @@ object Pipeline {
       PageRank.Params(tol = tol, maxIter = 200, numPartitions = partitions),
       prCfg)
     pr.state.write.mode(SaveMode.Overwrite).parquet(s"$out/pagerank")
+    // bound checkpoint disk on long runs: keep only the newest K snapshots
+    // once the converged state is durably written above (snapshot store
+    // only — expiry is an Iceberg-shaped table op)
+    (store, arg(args, "expire-keep").map(_.toInt)) match {
+      case (Some(s: graft.checkpoint.SnapshotStore), Some(k)) =>
+        val dropped = s.expireSnapshots(k)
+        if (dropped.nonEmpty)
+          println(s"expired checkpoint snapshots: ${dropped.mkString(",")}")
+      case _ => ()
+    }
 
     mem.phase("components")
     val cc = ConnectedComponents.run(edges, partitions)

@@ -22,6 +22,9 @@ import graft.webgraph._
   *     [--content <parquet>]  (content_hash, body) script store (S3)
   *     [--filterlist <file>]  Adblock-Plus rules, one per line (labelling)
   *     --out <dir>            [--partitions N] [--csv] [--classify]
+  *     [--interpret]          per-prediction bias + feature contributions
+  *                            (treeinterpreter parity) → interpretation/
+  *                            + interpretation_0.json
   *     [--model-out <dir>]    persist trained model + feature manifest (S8)
   *     [--model <dir>]        apply a saved model to this crawl's features
   *                            (classify_with_model.py) → predictions/
@@ -138,6 +141,34 @@ object WebGraphRun {
           s"""{"folds":$foldJson,"top_importances":$imp}""")
         if (folds.isEmpty) System.err.println(
           "classification: no usable folds (need >= 2 visits with labels)")
+        // tree interpretation (classify.py:203-235 log_interpretation):
+        // per-prediction bias + per-feature contributions. The reference
+        // interprets each fold's test slice with that fold's model; here the
+        // final fold's model interprets the full labelled matrix (one
+        // model, one file — the per-fold variant is the same call in a
+        // loop). JSON mirrors the reference: key "<name>_<vid>", class-0
+        // contributions zipped with feature names, rounded to 2dp.
+        if (flag(args, "interpret") && model != null) {
+          val itp = graft.classification.TreeInterpret.interpret(
+            model, featCols, joined.drop("label"), classIdx = 0)
+          itp.write.mode(SaveMode.Overwrite).parquet(s"$out/interpretation")
+          val entries = spark.read.parquet(s"$out/interpretation")
+            .select(col("name"), col("visit_id"), col("contributions"))
+            .collect().map { r =>
+              val name = r.getString(0)
+              val vid = r.getLong(1)
+              val contrib = r.getMap[String, Double](2)
+              val pairs = featCols.map { f =>
+                f"""[${contrib.getOrElse(f, 0.0)}%.2f, ${graft.core.Json.str(f)}]"""
+              }.mkString("[", ", ", "]")
+              graft.core.Json.str(s"${name}_$vid") + ": {" +
+                s""""name": ${graft.core.Json.str(name)}, "vid": "$vid", """ +
+                s""""contributions": $pairs}"""
+            }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$out/interpretation_0.json"),
+            entries.mkString("{", ",\n", "}"))
+        }
       case None =>
         System.err.println("--classify requires --filterlist (labels)")
     }
