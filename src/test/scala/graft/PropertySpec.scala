@@ -136,6 +136,94 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("IndirectEdges.build equals a plain-Scala mirror of the reference's " +
+    "pandas semantics on random event tables with row multiplicities") {
+    // random rows with DELIBERATE duplicates (small domains): the round-4
+    // rewrite (distinct-before-join for set_get/set_modify, Σ nx·ny for
+    // get_url's raw-pair count) must be invisible at any multiplicity mix
+    val rowGen: Gen[(Long, String, String, String, String, String, String)] = for {
+      v <- Gen.choose(0L, 1L)
+      kind <- Gen.choose(0, 4)
+      s <- Gen.choose(0, 3)
+      k <- Gen.choose(0, 2)
+      c <- Gen.choose(0, 3)
+      t <- Gen.choose(0, 9)
+    } yield {
+      val ts = f"$t%010d"
+      kind match {
+        case 0 => (v, s"s$s", s"k$k", "set_js",
+          s"""{"value":"val${c}XYZ"}""", null, ts)
+        case 1 => (v, s"g$s", s"k$k", "get_js", null, null, ts)
+        case 2 => (v, s"r$s", s"k$k", "remove_storage_js", null, null, ts)
+        case 3 => (v, s"u$s", s"m$k", "N/A", null,
+          s"""[["Cookie","t=val${c}XYZ"]]""", ts)
+        case 4 => (v, s"m$k", s"http://t$s.com/?q=val${c}XYZ", "N/A", null,
+          """[["A","x"]]""", ts)
+      }
+    }
+    val tableGen: Gen[List[(Long, String, String, String, String, String, String)]] =
+      Gen.choose(25, 60).flatMap(m => Gen.listOfN(m, rowGen))
+
+    val setA = Set("set", "set_js", "set_storage_js")
+    val getA = Set("get", "get_js", "get_storage_js")
+    def cv(attr: String): Option[String] =
+      Option(attr).flatMap("\"value\":\"([^\"]*)\"".r
+        .findFirstMatchIn(_).map(_.group(1)))
+
+    forAllSeeded(tableGen, cases = 3) { rows =>
+      val df = rows.toDF("visit_id", "src", "dst", "action", "attr",
+        "reqattr", "time_stamp")
+      val got = graft.features.IndirectEdges.build(df).collect()
+        .map(r => (r.getString(4), r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3)))
+        .toSeq.sorted
+
+      // ---- brute force, mirroring utils.py:395-500 over raw rows -------
+      val sets = rows.filter(r => setA(r._4)).map(r => (r._1, r._2, r._3))
+      val gets = rows.filter(r => getA(r._4)).map(r => (r._1, r._2, r._3))
+      val setGet = (for {
+        (v, s, d) <- sets; (v2, g, d2) <- gets if v == v2 && d == d2
+      } yield (v, s, g, d)).distinct
+        .groupBy(t => (t._1, t._2, t._3))
+        .map { case ((v, s, g), ks) => ("set_get", v, s, g, ks.size.toLong) }
+
+      val allSets = rows.filter(r => setA(r._4) || r._4 == "remove_storage_js")
+      val setModify = allSets.groupBy(r => (r._1, r._3)).toSeq.flatMap {
+        case ((v, d), rs) =>
+          val sorted = rs.sortBy(r => (r._7, r._2))
+          val f = sorted.head._2
+          sorted.tail.map(_._2).distinct
+            .map(l => ("set_modify", v, f, l, 1L))
+      }
+
+      val targets = rows.filter(r => r._6 != null && r._6 != "CS" &&
+        r._6 != "N/A").map(r => (r._1, r._3)).distinct
+      val values = rows.filter(r => Set("set", "set_js")(r._4))
+        .flatMap(r => cv(r._5).map(c => (r._1, c, r._2)))
+        .filter(_._2.length > 3)
+        .groupBy(t => (t._1, t._2))
+        .map { case ((v, c), rs) => (v, c, rs.map(_._3).min) }
+      val setUrl = (for {
+        (v, c, s) <- values.toSeq; (v2, u) <- targets if v == v2
+        if graft.features.IndirectEdges.cookieValueInUrl(c, u)
+      } yield (v, s, u)).groupBy(identity)
+        .map { case ((v, s, u), ms) => ("set_url", v, s, u, ms.size.toLong) }
+
+      val http = rows.filter(r => r._6 != "CS" && r._2 != "N/A" &&
+        r._4 != "CS")
+      val getUrl = (for {
+        x <- http if x._6 != null
+        y <- http if x._1 == y._1 && x._3 == y._2
+        if graft.features.IndirectEdges.cookiePresence(x._6, y._3)
+      } yield (x._1, x._2, y._3)).groupBy(identity)
+        .map { case ((v, s, d), ps) => ("get_url", v, s, d, ps.size.toLong) }
+
+      val expect =
+        (setGet ++ setModify ++ setUrl ++ getUrl).toSeq.sorted
+      assert(got === expect)
+    }
+  }
+
   test("dedup idempotence: minHashLsh on an already-deduped corpus is empty") {
     val texts = (0 until 25).map { i =>
       (i.toLong, (0 until 30).map(j =>
