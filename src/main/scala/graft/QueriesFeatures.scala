@@ -27,7 +27,7 @@ object QueriesFeatures {
         (col("user_id") % 10).as("visit_id"),
         concat(lit("u"), col("user_id") % 20).as("src"),
         (col("user_id") % 20).as("um"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        QueryUtil.jsonGet(col("props"), "k").cast("long").as("k"),
         col("event_type"))
       val cval = when(col("k") % 11 === 0, "xN/Ax")
         .when(col("k") % 5 === 0, "NONEsense")
@@ -72,7 +72,7 @@ object QueriesFeatures {
     // drop (python filter(None)), src=rec / dst=size naming.
     ("af2_response_stats", (s: SparkSession, dir: String) => {
       implicit val sp = s
-      val k = get_json_object(col("props"), "$.k").cast("long")
+      val k = QueryUtil.jsonGet(col("props"), "k").cast("long")
       val edges = t(dir, "events").select(
         (col("user_id") % 10).as("visit_id"),
         concat(lit("u"), col("user_id") % 20).as("src"),
@@ -113,7 +113,7 @@ object QueriesFeatures {
       val edges = t(dir, "events").select(
         (col("user_id") % 10).as("visit_id"),
         concat(lit("u"), col("user_id") % 20).as("src"),
-        concat(lit("k"), get_json_object(col("props"), "$.k").cast("long") % 8)
+        concat(lit("k"), QueryUtil.jsonGet(col("props"), "k").cast("long") % 8)
           .as("dst"),
         when(col("event_type") === "view", "get_js")
           .when(col("event_type") === "click", "get_storage_js")
@@ -192,7 +192,7 @@ object QueriesFeatures {
     // equality of the embedded digit.
     ("if2_indirect_edges", (s: SparkSession, dir: String) => {
       implicit val sp = s
-      val k = get_json_object(col("props"), "$.k").cast("long")
+      val k = QueryUtil.jsonGet(col("props"), "k").cast("long")
       val e0 = t(dir, "events").select((col("user_id") % 5).as("visit_id"),
         col("event_id").as("c"), k.as("k"))
       val edges = e0.select(
@@ -264,7 +264,7 @@ object QueriesFeatures {
     // the top_level_url-bearing one else "".
     ("wg3_consolidate", (s: SparkSession, dir: String) => {
       implicit val sp = s
-      val k = get_json_object(col("props"), "$.k").cast("long")
+      val k = QueryUtil.jsonGet(col("props"), "k").cast("long")
       val nodes = t(dir, "events").select(
         (col("user_id") % 10).as("visit_id"),
         concat(lit("n"), k % 25).as("name"),

@@ -246,7 +246,7 @@ object QueriesRel {
       implicit val sp = s
       t(dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          QueryUtil.jsonGet(col("props"), "k").cast("long").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           max(col("k")).as("max_k"))

@@ -268,7 +268,7 @@ object QueriesText {
       val edges = t(dir, "events").select(
         (col("user_id") % 10).as("visit_id"),
         concat(lit("u"), col("user_id")).as("src"),
-        concat(lit("k"), get_json_object(col("props"), "$.k")).as("dst"),
+        concat(lit("k"), QueryUtil.jsonGet(col("props"), "k")).as("dst"),
         when(col("event_type") === "click", "get_js")
           .when(col("event_type") === "signup", "set_js")
           .when(col("event_type") === "purchase", "set_storage_js")

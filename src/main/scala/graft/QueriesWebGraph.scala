@@ -22,7 +22,7 @@ object QueriesWebGraph {
     import org.apache.spark.sql.Column
     implicit val sp = s
     import s.implicits._
-    val k = get_json_object(col("props"), "$.k").cast("long")
+    val k = QueryUtil.jsonGet(col("props"), "k").cast("long")
     val u = t(dir, "events").select(
       (col("user_id") % 10).as("v"), col("event_id").as("c"), k.as("k"))
       .withColumn("url0", concat(lit("http://a"), col("k") % 20, lit("/p"), col("c") % 13))
@@ -116,7 +116,7 @@ object QueriesWebGraph {
     import org.apache.spark.sql.Column
     implicit val sp = s
     import s.implicits._
-    val k = get_json_object(col("props"), "$.k").cast("long")
+    val k = QueryUtil.jsonGet(col("props"), "k").cast("long")
     val u = t(dir, "events").select(
       (col("user_id") % 10).as("v"), col("event_id").as("c"), k.as("k"))
       .withColumn("url",
@@ -409,7 +409,7 @@ object QueriesWebGraph {
     ("wg6_local_storage", (s: SparkSession, dir: String) => {
       implicit val sp = s
       import s.implicits._
-      val k = get_json_object(col("props"), "$.k").cast("long")
+      val k = QueryUtil.jsonGet(col("props"), "k").cast("long")
       val js = t(dir, "events").select(
         (col("user_id") % 10).as("visit_id"),
         concat(lit("http://s"), k % 10, lit(".com/a.js")).as("script_url"),

@@ -29,6 +29,15 @@ object QueryUtil {
     * for the decimal case). */
   def isumSql(expr: String): String = s"CAST(SUM($expr) AS BIGINT)"
 
+  /** Native single-pass JSON field read (≡ get_json_object '$.field' on the
+    * engine's flat payloads — see graft.ext.JsonExpressions for why the
+    * builtin's per-row Jackson parser is avoided). Registers the graft
+    * extensions idempotently so registry fns work on any host session. */
+  def jsonGet(json: Column, field: String)(implicit s: SparkSession): Column = {
+    graft.ext.GraftExtensions.register(s)
+    call_function("json_get", json, lit(field))
+  }
+
   /** Single-session sweep hygiene: drop every RDD block still pinned by a
     * `localCheckpoint(true)` (a checkpoint's blocks can't be released from
     * inside a query fn because the returned plan still reads them). Bench

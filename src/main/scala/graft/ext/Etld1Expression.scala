@@ -118,6 +118,21 @@ object GraftExtensions {
         CookieSetTriplesExpression(children.head, children(1)): Expression
       }))
 
+  private[ext] val jsonDescriptors = Seq(
+    (new FunctionIdentifier("json_get"),
+      new ExpressionInfo(classOf[JsonGetExpression].getName, "json_get"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "json_get takes (json, field)")
+        JsonGetExpression(children.head, children(1)): Expression
+      }),
+    (new FunctionIdentifier("json_array_get"),
+      new ExpressionInfo(classOf[JsonArrayGetExpression].getName,
+        "json_array_get"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "json_array_get takes (json, idx)")
+        JsonArrayGetExpression(children.head, children(1)): Expression
+      }))
+
   private[ext] val probeDescriptors = Seq(
     unary("cookie_value_probes", classOf[CookieValueProbesExpression],
       CookieValueProbesExpression(_)),
@@ -134,7 +149,7 @@ object GraftExtensions {
       RollingFpExpression(_)))
 
   private[ext] def all = Seq(etld1Descriptor, urlFeatsDescriptor) ++
-    cookieDescriptors ++ probeDescriptors
+    cookieDescriptors ++ jsonDescriptors ++ probeDescriptors
 
   /** Late registration on an already-built session (tests, notebooks,
     * construction entry points). Idempotent. */

@@ -228,6 +228,7 @@ object Adblock {
     * Lists compile ONCE on the driver ([[CompiledRules]]) and ship in the
     * UDF closure. */
   def labelNodes(nodes: DataFrame, lists: Seq[Seq[Rule]]): DataFrame = {
+    graft.ext.GraftExtensions.register(nodes.sparkSession)
     val compiled = lists.map(new CompiledRules(_))
     val blocked = udf((url: String, pageDom: String, nodeDom: String,
                        rt: String) =>
@@ -237,7 +238,7 @@ object Adblock {
     FeatureExtraction.classifiable(nodes)
       .select(col("visit_id"), col("top_level_url"), col("name"),
         blocked(col("name"), col("top_level_domain"), col("domain"),
-          get_json_object(col("attr"), "$.content_policy_type"))
+          call_function("json_get", col("attr"), lit("content_policy_type")))
           .as("label"))
   }
 }

@@ -33,6 +33,10 @@ object AdditionalFeatures {
     * top_level_domain count. `nodes` supplies (visit_id, name,
     * top_level_domain) for the setter. */
   def cookieStats(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    graft.ext.GraftExtensions.register(edges.sparkSession)
+    // four attr fields per row: native json_get (one structural scan each)
+    // instead of get_json_object's per-row-per-call Jackson parser
+    def jget(f: String) = call_function("json_get", col("attr"), lit(f))
     val sets = edges
       .where(col("action").isin("set", "set_js"))
       .select(col("visit_id"), col("src"), col("attr"))
@@ -42,10 +46,10 @@ object AdditionalFeatures {
       // loop appends len(attr['name']) BEFORE the KeyError on
       // attr['value'] and try doesn't roll the append back
       // (additional.py:131-136, §2.11.6 swallow semantics).
-      .withColumn("c_name", get_json_object(col("attr"), "$.name"))
-      .withColumn("c_value", get_json_object(col("attr"), "$.value"))
-      .withColumn("c_httponly", get_json_object(col("attr"), "$.httponly"))
-      .withColumn("c_domain", get_json_object(col("attr"), "$.domain"))
+      .withColumn("c_name", jget("name"))
+      .withColumn("c_value", jget("value"))
+      .withColumn("c_httponly", jget("httponly"))
+      .withColumn("c_domain", jget("domain"))
       .where(!col("attr").contains("N/A") && col("c_name").isNotNull)
       .withColumn("size_name", length(col("c_name")))
       // 'none' anywhere in the value (case-insens) zeroes its size
@@ -96,13 +100,15 @@ object AdditionalFeatures {
     * `filter(None, …)` drops 0 too). src side = *_rec_response_length,
     * dst side = *_size_response (the reference's naming, kept as-is). */
   def responseStats(edges: DataFrame): DataFrame = {
+    graft.ext.GraftExtensions.register(edges.sparkSession)
     // pandas NaN != "N/A" is True ⇒ null respattr PASSES the filter
     val valid = col("attr").isNotNull && col("attr") =!= "CS" &&
       col("attr") =!= "N/A" && length(col("attr")) > 0 &&
       (col("respattr").isNull || col("respattr") =!= "N/A")
     val cl = edges.where(valid)
       .select(col("visit_id"), col("src"), col("dst"),
-        get_json_object(col("attr"), "$.clength").cast("long").as("clength"))
+        call_function("json_get", col("attr"), lit("clength"))
+          .cast("long").as("clength"))
       .where(col("clength").isNotNull && col("clength") =!= 0L)
     val bySrc = cl.groupBy(col("visit_id"), col("src").as("name"))
       .agg(max(col("clength")).as("max_rec_response_length"),

@@ -147,10 +147,10 @@ object ContentFeatures {
     val head = Seq(
       col("visit_id"), col("name"),
       typeCode(col("type")).as("node_type"),
-      get_json_object(col("attr"), "$.content_policy_type")
+      call_function("json_get", col("attr"), lit("content_policy_type"))
         .as("content_policy_type"),
-      cptCode(get_json_object(col("attr"), "$.content_policy_type"))
-        .as("cpt_code"),
+      cptCode(call_function("json_get", col("attr"),
+        lit("content_policy_type"))).as("cpt_code"),
       length(col("name")).as("url_length"),
       when(col("domain").isNotNull && col("top_level_domain").isNotNull &&
         col("domain") === col("top_level_domain"), 1).otherwise(0)

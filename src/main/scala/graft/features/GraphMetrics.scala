@@ -218,9 +218,10 @@ object GraphMetrics {
     // ---- 1-hop / ancestor attribute flags -----------------------------
     val typed = nodes.select(col("visit_id"), col("name"), col("type"),
       col("attr")).dropDuplicates("visit_id", "name")
+    graft.ext.GraftExtensions.register(nodes.sparkSession)
     val evalElem = (col("type") === "Element") &&
-      (get_json_object(col("attr"), "$.eval") === "true") &&
-      (get_json_object(col("attr"), "$.subtype") === "script")
+      (call_function("json_get", col("attr"), lit("eval")) === "true") &&
+      (call_function("json_get", col("attr"), lit("subtype")) === "script")
 
     // 1-hop flags over simpleAll: nx G.predecessors/successors include the
     // node itself on a self-loop (the direct graph routinely carries them),

@@ -179,7 +179,7 @@ object IndirectEdges {
     // a bare codegen'd contains_any — no per-pair digest work
     val cookieSets = edges.where(col("action").isin("set", "set_js"))
       .select(col("visit_id"), col("src"),
-        get_json_object(col("attr"), "$.value").as("cv"))
+        call_function("json_get", col("attr"), lit("value")).as("cv"))
       .where(col("cv").isNotNull && length(col("cv")) > 3)
     val valueSrc = cookieSets.groupBy(col("visit_id"), col("cv"))
       .agg(min(col("src")).as("src")) // deterministic "first" setter

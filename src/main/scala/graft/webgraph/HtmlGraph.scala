@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
 object HtmlGraph {
 
   def build(js: Dataset[JsCall]): (DataFrame, DataFrame) = {
+    graft.ext.GraftExtensions.register(js.sparkSession)
+    // $['0'].openwpm as two chained native scans (json_get returns the raw
+    // JSON substring for an object-valued field, so it composes)
+    def openwpmTag(attributes: org.apache.spark.sql.Column) =
+      call_function("json_get",
+        call_function("json_get", attributes, lit("0")), lit("openwpm"))
     // one NODE PER createElement ROW (the reference names by dataframe row
     // index, html_edges.py:116): the content hash alone would collapse
     // same-tick same-script same-arguments creations into one node, so a
@@ -37,8 +43,7 @@ object HtmlGraph {
           xxhash64(col("visit_id"), col("time_stamp"), col("script_url"),
             col("arguments")),
           lit("_"), row_number().over(keyW)))
-      .withColumn("openwpm_tag",
-        get_json_object(col("attributes"), "$['0'].openwpm"))
+      .withColumn("openwpm_tag", openwpmTag(col("attributes")))
       .withColumn("attr", to_json(struct(
         col("openwpm_tag").as("openwpm"),
         lit("").as("subtype"),
@@ -54,8 +59,7 @@ object HtmlGraph {
     val srcSets = js.toDF()
       .where(col("symbol").contains("Element.src") &&
         col("operation").contains("set"))
-      .withColumn("openwpm_tag",
-        get_json_object(col("attributes"), "$['0'].openwpm"))
+      .withColumn("openwpm_tag", openwpmTag(col("attributes")))
 
     // J4: parent element via the shared openwpm tag (left join — a src set
     // without a captured createElement keeps a null parent and is dropped

@@ -28,10 +28,15 @@ object StorageGraph {
     GraftExtensions.register(js.sparkSession)
     val rows = js.toDF()
       .where(col("symbol").contains("Storage."))
-      .withColumn("sname", get_json_object(col("arguments"), "$[0]"))
+      // native single-pass array reads (builtin get_json_object builds a
+      // Jackson parser per row per call — graft.ext.JsonExpressions)
+      .withColumn("sname", call_function("json_array_get",
+        col("arguments"), lit(0)))
+      .withColumn("arg1", call_function("json_array_get",
+        col("arguments"), lit(1)))
       .withColumn("attr",
-        when(get_json_object(col("arguments"), "$[1]").isNotNull,
-          to_json(struct(get_json_object(col("arguments"), "$[1]").as("value"))))
+        when(col("arg1").isNotNull,
+          to_json(struct(col("arg1").as("value"))))
           .otherwise(lit("")))
       // non-*Item Storage symbols (clear/length/key) get action "" — the
       // reference's get_storage_action re.search fails, the exception is
