@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity search: brute-force cosine top-k (the exactness
   * baseline) and a random-hyperplane-LSH bucketed variant (the scale path).
   *
-  * Vectors are `array<float>` columns; all math runs in double via
-  * `zip_with` + `aggregate` — codegen'd higher-order functions, no UDFs.
+  * Vectors are `array<float>` columns; all math runs in double — the
+  * per-pair dot product is the native codegen'd `vec_dot` expression
+  * (graft.ext.VecExpressions), per-vector prep (normalize, signatures)
+  * stays on Spark higher-order functions (once per vector, not per pair).
   * Scale shape: brute force is probes × corpus (only sane when one side is
   * tiny and broadcast); the LSH path buckets the corpus once (narrow map +
   * one shuffle on the signature) and joins probes to their own bucket, so
@@ -16,10 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double (sequential fold — deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double (sequential fold — deterministic). Plans the native
+    * codegen'd `vec_dot` (graft.ext.VecExpressions): the HOF formulation
+    * (`aggregate(zip_with(…))`) materializes the zipped array per PAIR and
+    * evaluates interpreted — the wrong constant factor for pairs × dims
+    * work. Requires GraftExtensions on the session (every DataFrame-level
+    * entry point below registers idempotently). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -37,6 +42,7 @@ object Similarity {
     * the embedding-near-dup oracle primitive. Output (a_id, b_id). */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                   minCos: Double): DataFrame = {
+    graft.ext.GraftExtensions.register(vecs.sparkSession)
     val nv = vecs.select(col(idCol).as("a_id"), normalized(col(vecCol)).as("va"))
     val a = nv
     val b = nv.select(col("a_id").as("b_id"), col("va").as("vb"))
@@ -50,6 +56,7 @@ object Similarity {
     * Output (query_id, rank, neighbor_id). */
   def bruteForceKnn(corpus: DataFrame, probes: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.ext.GraftExtensions.register(corpus.sparkSession)
     val p = broadcast(probes.select(col(idCol).as("query_id"),
       normalized(col(vecCol)).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -92,6 +99,7 @@ object Similarity {
   def lshKnn(corpus: DataFrame, probes: DataFrame, idCol: String,
              vecCol: String, k: Int, nBits: Int = 12,
              probeBits: Int = 1): DataFrame = {
+    graft.ext.GraftExtensions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       rhpSignature(col(vecCol), nBits).as("sig"))
     // multi-probe: every XOR mask of hamming weight ≤ probeBits — true
@@ -143,6 +151,7 @@ object Similarity {
              vecCol: String, k: Int, nList: Int = 16, nProbe: Int = 4,
              iters: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
+    graft.ext.GraftExtensions.register(spark)
     val nc = corpus.select(col(idCol).as("neighbor_id"),
       normalized(col(vecCol)).as("cv")).persist()
 

@@ -133,6 +133,14 @@ object GraftExtensions {
         JsonArrayGetExpression(children.head, children(1)): Expression
       }))
 
+  private[ext] val vecDescriptors = Seq(
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDotExpression].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_dot takes (a, b)")
+        VecDotExpression(children.head, children(1)): Expression
+      }))
+
   private[ext] val probeDescriptors = Seq(
     unary("cookie_value_probes", classOf[CookieValueProbesExpression],
       CookieValueProbesExpression(_)),
@@ -149,7 +157,7 @@ object GraftExtensions {
       RollingFpExpression(_)))
 
   private[ext] def all = Seq(etld1Descriptor, urlFeatsDescriptor) ++
-    cookieDescriptors ++ jsonDescriptors ++ probeDescriptors
+    cookieDescriptors ++ jsonDescriptors ++ vecDescriptors ++ probeDescriptors
 
   /** Late registration on an already-built session (tests, notebooks,
     * construction entry points). Idempotent. */

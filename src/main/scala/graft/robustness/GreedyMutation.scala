@@ -138,6 +138,10 @@ object GreedyMutation {
                               adv: Seq[String]): Seq[(String, String)] = {
     val storageNames = nodes.where(col("type") === "Storage")
       .select("name").distinct()
+    // bounded driver pull: |adv| × |storage keys an adversary set| — the
+    // adversary set is a handful of nodes by reference semantics
+    // (mutate_utils.py candidate enumeration), so this is O(candidates),
+    // not O(graph); same bound class as g8's top-k collect
     edges.where(col("action").isin("set", "set_js") &&
         col("src").isin(adv: _*))
       .join(storageNames.withColumnRenamed("name", "dst"), Seq("dst"))

@@ -14,7 +14,8 @@ import graft.model.Page
   *   spark-submit --class graft.tools.Pipeline <jar> \
   *     --pages <parquet dir>  (url, warc_ts, html, text, lang)  \
   *     --out <dir>  [--partitions N] [--tol 1e-6] [--checkpoint <dir>] \
-  *     [--run-id <id>] [--store parquet|snapshot] [--expire-keep K]
+  *     [--run-id <id>] [--store parquet|snapshot] [--expire-keep K] \
+  *     [--async-ckpt]
   *
   * Stages (each written as parquet under --out; resumable through
   * --checkpoint + --run-id mid-PageRank):
@@ -88,8 +89,11 @@ object Pipeline {
         case _          => new ParquetStore(dir, runId)
       }
     }
+    // --async-ckpt moves snapshot writes off the superstep critical path
+    // (Superstep.Config.asyncCheckpoint scaladoc for the semantics)
     val prCfg = store.map(s => Superstep.Config(partitions, 200, tol,
-      checkpointEvery = 5, store = Some(s), verbose = true))
+      checkpointEvery = 5, store = Some(s), verbose = true,
+      asyncCheckpoint = args.contains("--async-ckpt")))
 
     mem.phase("pagerank")
     val pr = PageRank.run(edges,

@@ -117,9 +117,12 @@ object RequestGraph {
     * list through Python `set()` (request_edges.py:177) whose order is
     * hash-randomized — a genuine nondeterminism; we pin stable
     * first-occurrence dedup instead (documented fix). */
+  // compiled once — stackUrls runs per call-stack row inside the csEdges
+  // UDF; a per-call Pattern.compile would dominate the frame scan
+  private val urlRe = "(https?://[^\\s:]+)".r
+
   private[webgraph] def stackUrls(callStack: String): Seq[String] = {
     if (callStack == null) return Seq.empty
-    val urlRe = "(https?://[^\\s:]+)".r
     val urls = callStack.split("\\s+").toSeq
       .flatMap(line => urlRe.findFirstIn(line))
       .reverse

@@ -61,6 +61,39 @@ class CheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("async checkpointing commits the same snapshots as sync, resumes, " +
+    "and matches the uninterrupted run") {
+    val root = Files.createTempDirectory("graft_ckpt_async").toString
+
+    val full = PageRank.run(edges,
+        PageRank.Params(tol = 0.0, maxIter = 12, numPartitions = 4))
+      .state.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // run A (async writes): stop hard at 6; the final pending commit must
+    // be durable when run() returns
+    val storeA = new ParquetStore(root, "runAsync")
+    PageRank.run(edges, PageRank.Params(tol = 0.0, maxIter = 6, numPartitions = 4),
+      Some(Superstep.Config(4, 6, tol = 0.0, checkpointEvery = 2,
+        store = Some(storeA), asyncCheckpoint = true)))
+    val committed = storeA.metricsLog()
+    assert(committed.map(_.step) === Seq(2, 4, 6),
+      "async mode must land exactly the sync commit schedule, in order")
+    assert(committed.last.partRows.sum === committed.last.rows)
+
+    // run B resumes from the async-written store and continues (async too)
+    val resumed = PageRank.run(edges,
+      PageRank.Params(tol = 0.0, maxIter = 12, numPartitions = 4),
+      Some(Superstep.Config(4, 12, tol = 0.0, checkpointEvery = 2,
+        store = Some(new ParquetStore(root, "runAsync")),
+        asyncCheckpoint = true)))
+    assert(resumed.steps === 12)
+    val got = resumed.state.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === full.keySet)
+    full.foreach { case (id, r) =>
+      assert(math.abs(got(id) - r) < 1e-12, s"vertex $id diverged (async)")
+    }
+  }
+
   test("commit is atomic: orphan data without manifest is never resumed") {
     val root = Files.createTempDirectory("graft_ckpt2").toString
     val store = new ParquetStore(root, "runX")
