@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles as an array column (text pre-split on
-    * single spaces, matching the corpus contract). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+  /** Distinct word n-gram shingles from a PRE-SPLIT token-array column.
+    * The token array must be materialized as its own projected column
+    * (see [[shingled]]): referencing `split(text)` directly inside the
+    * transform lambda embeds it once per element_at, so the full-text
+    * regex split re-evaluates O(n · positions) times per document —
+    * JFR-profiled as the dominant CPU of the d2/d3 shingle builds. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
     array_distinct(
       when(cnt > 0,
@@ -32,9 +35,31 @@ object Dedup {
         .otherwise(array()))
   }
 
-  /** (id, shingle) exploded table — the join-shaped shingle view. */
+  /** Single-Column shingle form (tests / non-hot callers). Dataflows use
+    * [[shingled]], which binds the token split once per row. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(split(text, " "), n)
+
+  /** (id, shingle-array) with the tokenize bound ONCE per row behind a
+    * projection boundary (CollapseProject keeps multi-referenced non-cheap
+    * aliases materialized, so the lambda's element_ats read the row value). */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("shs"))
+
+  /** (id, shingle) exploded table — the join-shaped shingle view.
+    * explode_OUTER + isNotNull, not plain explode: InferFiltersFromGenerate
+    * turns `explode(shs)` into a `size(shs) > 0` filter that PushDownPredicates
+    * substitutes through the defining projections — the full shingle
+    * expression (splits included) then re-evaluates per row in the Filter
+    * AND in the parquet scan's DataFilters. The outer variant infers
+    * nothing; the cheap isNotNull on the GENERATED column drops the same
+    * empty-array rows and cannot be pushed below the Generate. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    shingled(docs, idCol, textCol, n)
+      .select(col("id"), explode_outer(col("shs")).as("sh"))
+      .where(col("sh").isNotNull)
 
   /** Exact pairwise Jaccard ≥ minJ via PREFIX FILTERING (the AllPairs/PPJoin
     * candidate bound: Bayardo et al. WWW'07, Xiao et al. WWW'08 — public
@@ -51,13 +76,16 @@ object Dedup {
     * naive exact join. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJ: Double = 0.8): DataFrame = {
-    val withSh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("shs"))
+    val withSh = shingled(docs, idCol, textCol, n)
     // candidate generation runs entirely on 64-bit shingle HASHES (narrow
     // shuffle keys); a hash collision can only ADD a candidate, and the
     // exact array_intersect verify below removes it — exactness holds
+    // explode_outer + isNotNull for the same InferFiltersFromGenerate
+    // reason as shingleTable (plain explode re-evaluates the shingle
+    // build in a pushed-down size() filter)
     val sh = withSh.select(col("id"),
-      explode(col("shs")).as("s0"))
+      explode_outer(col("shs")).as("s0"))
+      .where(col("s0").isNotNull)
       .select(col("id"), xxhash64(col("s0")).as("sh"))
       .distinct() // keep SET semantics if two shingles of one doc collide
     val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -128,8 +156,7 @@ object Dedup {
     val rows = k / bands
     val cands = lshCandidates(
       minHashSignatures(docs, idCol, textCol, n, k), bands, rows)
-    val withSh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("shs"))
+    val withSh = shingled(docs, idCol, textCol, n)
     cands
       .join(withSh.select(col("id").as("a_id"), col("shs").as("sha")), Seq("a_id"))
       .join(withSh.select(col("id").as("b_id"), col("shs").as("shb")), Seq("b_id"))
@@ -158,8 +185,11 @@ object Dedup {
     * explode(bits 0..63) → two grouped sums — pure codegen'd aggregation. */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
               tokenHash: Column => Column = xxTokenHash): DataFrame = {
+    // explode_outer + isNotNull: see shingleTable — plain explode makes
+    // InferFiltersFromGenerate re-evaluate the split in a pushed filter
     val toks = docs.select(col(idCol).as("id"),
-      explode(split(col(textCol), " ")).as("t"))
+      explode_outer(split(col(textCol), " ")).as("t"))
+      .where(col("t").isNotNull)
       .select(col("id"), tokenHash(col("t")).as("h"))
     val votes = toks
       .select(col("id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))

@@ -41,7 +41,11 @@ object HttpCookieGraph {
       .withColumn("sets",
         call_function("cookie_set_triples",
           coalesce(col("reqattr"), lit("")), coalesce(col("respattr"), lit(""))))
-      .withColumn("d", explode(concat(col("gets"), col("sets"))))
+      // explode_OUTER + isNotNull: plain explode would infer a pushed-down
+      // size() filter that re-parses both cookie headers per row
+      // (Dedup.shingleTable documents the optimizer shape)
+      .withColumn("d", explode_outer(concat(col("gets"), col("sets"))))
+      .where(col("d").isNotNull)
       .select(col("visit_id"), col("dst").as("req_url"),
         col("d._1").as("cname"), col("d._2").as("action"),
         col("d._3").as("attr"), col("time_stamp"))

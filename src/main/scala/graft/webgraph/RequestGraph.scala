@@ -173,10 +173,14 @@ object RequestGraph {
     }
 
     val exploded = merged
-      .withColumn("e", explode(gen(col("call_stack"), col("name"),
+      // explode_OUTER + isNotNull: plain explode would infer a pushed-down
+      // size() filter that runs the stack-hop UDF twice per row
+      // (Dedup.shingleTable documents the optimizer shape)
+      .withColumn("e", explode_outer(gen(col("call_stack"), col("name"),
         col("reqattr"), col("respattr"), col("response_status"),
         col("time_stamp"), col("content_hash"), col("post_body"),
         col("post_body_raw"))))
+      .where(col("e").isNotNull)
       .select(col("visit_id"), col("top_level_url"), col("request_id"),
         col("e._1").as("src"), col("e._2").as("dst"),
         col("e._3").as("reqattr"), col("e._4").as("respattr"),

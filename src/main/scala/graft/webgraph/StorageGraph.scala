@@ -116,10 +116,16 @@ object StorageGraph {
 
     val rows = js.toDF()
       .where(col("symbol") === "window.document.cookie")
-      .withColumn("nv", explode(call_function("js_cookie_pairs",
+      // explode_OUTER + isNotNull (both hops): plain explode lets
+      // InferFiltersFromGenerate add a size()>0 filter that re-runs the
+      // cookie parse / the stack UDF a second time per row (graft.dedup
+      // .Dedup.shingleTable has the full story)
+      .withColumn("nv", explode_outer(call_function("js_cookie_pairs",
         coalesce(col("value"), lit("")), coalesce(col("operation"), lit("")))))
-      .withColumn("e", explode(stackGen(col("call_stack"), col("nv._1"),
+      .where(col("nv").isNotNull)
+      .withColumn("e", explode_outer(stackGen(col("call_stack"), col("nv._1"),
         col("nv._2"), col("operation"), col("time_stamp"))))
+      .where(col("e").isNotNull)
       .select(col("visit_id"), col("document_url"), col("top_level_url"),
         col("e._1").as("script_url"), col("e._2").as("cname"),
         col("e._3").as("action"), col("e._4").as("attr"),
