@@ -21,9 +21,40 @@ import graft.algo.PageRank
   *
   * Prints one JSON line:
   *   {"edges":…,"steps":…,"n_cores":…,"sec_n":…,"tput_n":…,
-  *    "n4_cores":…,"sec_4n":…,"tput_4n":…,"efficiency":…}
+  *    "n4_cores":…,"sec_4n":…,"tput_4n":…,"efficiency":…,
+  *    "protocol":…,"deviations":[…],"heap_gib":…}
+  *
+  * The PROTOCOL CONFIG (the one BASELINE.md's acceptance rows use) is
+  * pinned here as the defaults: 6M pages (→ ~24M edges), 8 steps, N=2
+  * (so both sides sit below the single-JVM memory-bus ceiling — see
+  * BASELINE.md's N-pair analysis), 3 reps, heap ≤ 16 GiB. A run that
+  * deviates still executes (exploration is legitimate) but the artifact
+  * line carries `"protocol":false` plus the deviation list, so a
+  * nonstandard measurement can never be mistaken for an acceptance run
+  * (the negative-control class: half-size graph + 48 GiB heap scored
+  * 0.317 of garbage).
   */
 object Scaling {
+
+  /** Protocol constants — change BASELINE.md if you change these. */
+  final val ProtocolPages = 6000000L
+  final val ProtocolSteps = 8
+  final val ProtocolN = 2
+  final val ProtocolReps = 3
+  final val ProtocolMaxHeapGiB = 16.0
+
+  /** Every way `(pages, steps, n, reps, heap)` deviates from the pinned
+    * acceptance protocol; empty = this run's efficiency number is
+    * comparable to BASELINE.md's acceptance rows. */
+  def protocolDeviations(nPages: Long, steps: Int, nCores: Int, reps: Int,
+                         heapGiB: Double): Seq[String] = Seq(
+    (nPages != ProtocolPages) -> s"pages=$nPages (protocol $ProtocolPages)",
+    (steps != ProtocolSteps) -> s"steps=$steps (protocol $ProtocolSteps)",
+    (nCores != ProtocolN) -> s"n=$nCores (protocol $ProtocolN)",
+    (reps < ProtocolReps) -> s"reps=$reps (protocol >= $ProtocolReps)",
+    (heapGiB > ProtocolMaxHeapGiB) ->
+      f"heap=$heapGiB%.1f GiB (protocol <= $ProtocolMaxHeapGiB%.0f)"
+  ).collect { case (true, why) => why }
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -56,11 +87,22 @@ object Scaling {
   }
 
   def main(args: Array[String]): Unit = {
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "3000000").toLong
-    val steps = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEPS", "8").toInt
-    val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val nPages = sys.env.get("SPARK_GRAFT_SCALE_PAGES")
+      .map(_.toLong).getOrElse(ProtocolPages)
+    val steps = sys.env.get("SPARK_GRAFT_SCALE_STEPS")
+      .map(_.toInt).getOrElse(ProtocolSteps)
+    val nCores = sys.env.get("SPARK_GRAFT_SCALE_N")
+      .map(_.toInt).getOrElse(ProtocolN)
+    val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS")
+      .map(_.toInt).getOrElse(ProtocolReps)
     val path = "/tmp/graft_scaling_edges"
+
+    val heapGiB = Runtime.getRuntime.maxMemory / 1024.0 / 1024.0 / 1024.0
+    val deviations = protocolDeviations(nPages, steps, nCores, reps, heapGiB)
+    if (deviations.nonEmpty)
+      System.err.println(
+        "Scaling: NONSTANDARD config, not an acceptance run: " +
+          deviations.mkString("; "))
 
     // generation + warmup (JIT, classloading) in a throwaway session
     val gen = session(16)
@@ -115,6 +157,10 @@ object Scaling {
       f""""n_cores":$nCores,"sec_n":$secN%.2f,"tput_n":$tputN%.0f,""" +
       f""""n4_cores":${4 * nCores},"sec_4n":$sec4N%.2f,"tput_4n":$tput4N%.0f,""" +
       f""""efficiency":$eff%.3f,""" +
+      s""""protocol":${deviations.isEmpty},""" +
+      deviations.map(graft.core.Json.str)
+        .mkString(""""deviations":[""", ",", "],") +
+      f""""heap_gib":$heapGiB%.1f,""" +
       s""""reps_n":${fmt(wallsN)},"reps_4n":${fmt(walls4N)},""" +
       s""""cpu_n":${fmt(cpusN)},"cpu_4n":${fmt(cpus4N)},""" +
       s""""load_n":${fmt(loadsN)},"load_4n":${fmt(loads4N)}}""")
