@@ -25,7 +25,16 @@ object GraphMetrics {
 
   /** All-pairs BFS distances per visit graph: (visit_id, s, v, dist),
     * dist ≥ 0, pairs limited to reachable ones. Semi-naïve layered
-    * expansion — work per superstep ∝ new pairs. */
+    * expansion — work per superstep ∝ new pairs.
+    *
+    * Every loop-carried table is an EAGER localCheckpoint, so each
+    * superstep plans over three leaves (frontier, hops, known). With a
+    * merely-persisted frontier the level-d logical plan chains through all
+    * d−1 previous levels and re-embeds the full upstream construction tree
+    * via `hops` — O(d²) live plan nodes across the loop, which is what
+    * actually blew the 8 GB driver heap in the large-diameter sf0.001
+    * regime (the pair DATA there is a few MB), and what made deep loops
+    * pay quadratic re-analysis time. */
   def distances(edges: DataFrame, undirected: Boolean,
                 maxIter: Int = 64): DataFrame = {
     val base = edges.select(col("visit_id"), col("src"), col("dst"))
@@ -35,18 +44,18 @@ object GraphMetrics {
         base.union(base.select(col("visit_id"), col("dst").as("src"),
           col("src").as("dst"))).distinct()
       else base
-    val verts = dir.select(col("visit_id"), col("src").as("id"))
-      .union(dir.select(col("visit_id"), col("dst").as("id"))).distinct()
 
+    // plan leaf: consumed once per superstep — without truncation each
+    // level's plan would carry its own copy of the whole upstream tree
     val hops = dir.select(col("visit_id"), col("src").as("v"),
-      col("dst").as("w"))
+      col("dst").as("w")).localCheckpoint(true)
 
-    var known = verts
+    var known = hops.select(col("visit_id"), col("v").as("id"))
+      .union(hops.select(col("visit_id"), col("w").as("id"))).distinct()
       .select(col("visit_id"), col("id").as("s"), col("id").as("v"),
         lit(0).as("dist"))
-      .persist()
+      .localCheckpoint(true)
     var frontier = known
-    known.count()
     var d = 0
     var more = true
     while (more && d < maxIter) {
@@ -58,17 +67,14 @@ object GraphMetrics {
         .join(known.select(col("visit_id"), col("s"), col("v")),
           Seq("visit_id", "s", "v"), "left_anti")
         .withColumn("dist", lit(d))
-        .persist()
+        .localCheckpoint(true)
       more = next.count() > 0
-      if (more) {
-        val k2 = known.union(next).localCheckpoint(true)
-        known.unpersist(false)
-        known = k2
-      }
-      frontier.unpersist(false)
+      if (more) known = known.union(next).localCheckpoint(true)
       frontier = next
+      // superseded checkpoints (old known/frontier) become unreachable here;
+      // the ContextCleaner reclaims their blocks, and Bench/Verify's
+      // releaseScratch sweeps any stragglers after the query is consumed
     }
-    frontier.unpersist(false)
     known
   }
 
@@ -122,8 +128,26 @@ object GraphMetrics {
       .withColumn("in_out_degree", col("in_degree") + col("out_degree"))
       .persist()
 
-    // ---- reachability (directed) --------------------------------------
-    val dist = distances(simple, undirected = false).persist()
+    // ---- reachability: directed + undirected in ONE superstep loop ----
+    // Same composite-visit fusion as [[indirectAndComposedMetrics]]: the
+    // two expansions never interact, so the graph tag is plain data
+    // parallelism and the loop pays max(depth_dir, depth_und) barriers
+    // instead of their sum — at cluster scale every barrier is a full
+    // shuffle round-trip, so this halves the critical path of the metric
+    // core (closeness/ancestors need directed pairs, eccentricity the
+    // undirected ones).
+    def tagged(df: DataFrame, g: String) = df.select(
+      struct(lit(g).as("g"), col("visit_id").as("v")).as("visit_id"),
+      col("src"), col("dst"))
+    val sym = simple.union(simple.select(col("visit_id"),
+      col("dst").as("src"), col("src").as("dst")))
+    val bothDist = distances(
+      tagged(simple, "d").unionByName(tagged(sym, "u")),
+      undirected = false).persist()
+    def distSlice(g: String) = bothDist.where(col("visit_id.g") === g)
+      .select(col("visit_id.v").as("visit_id"), col("s"), col("v"),
+        col("dist"))
+    val dist = distSlice("d")
     val descendants = dist.groupBy(col("visit_id"), col("s").as("name"))
       .agg((count(lit(1)) - 1).as("descendants"))
     val ancestors = dist.groupBy(col("visit_id"), col("v").as("name"))
@@ -142,7 +166,7 @@ object GraphMetrics {
         col("closeness_centrality"))
 
     // ---- eccentricity (undirected; -1 for all if disconnected) --------
-    val udist = distances(simple, undirected = true).persist()
+    val udist = distSlice("u")
     val reachPairs = udist.groupBy("visit_id").agg(count(lit(1)).as("pairs"))
     // anchor on nVerts (covers visits whose edges are ALL self-loops —
     // udist is empty there): connected iff reachable pairs = n², or the
@@ -194,7 +218,7 @@ object GraphMetrics {
       .na.fill(0.0, Seq("closeness_centrality"))
 
     CoreMetrics(simple, simpleAll, verts, degrees, dist, nVerts, nEdges, metrics,
-      () => Seq(simpleAll, simple, verts, degrees, dist, udist)
+      () => Seq(simpleAll, simple, verts, degrees, bothDist)
         .foreach(_.unpersist(false)))
   }
 

@@ -27,6 +27,9 @@ object Demo {
       case Some(dir) =>
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           val n = fn(spark, dir).count()
+          // same sweep hygiene as Bench/Verify: the query is fully consumed,
+          // so drop any algo-internal checkpoint blocks before the next one
+          graft.QueryUtil.releaseScratch(spark)
           println(s"query $name -> $n rows")
         }
       case None =>
