@@ -42,9 +42,15 @@ object Reachability {
     // reflexive=false: seeds are NOT pre-known, so a (s,s) pair derived
     // through a genuine cycle survives the anti-join and appears in the
     // output — "reachable in ≥1 step" includes self-reachability via cycles
-    var known = (if (reflexive) seedPairs else seedPairs.limit(0)).persist()
-    var frontier = seedPairs.persist()
-    known.count(); frontier.count()
+    //
+    // Loop-carried state is an EAGER localCheckpoint (leaf plan, physical
+    // partitioning preserved), never a bare persist: a persisted frontier's
+    // logical plan chains through every previous superstep, holding O(d²)
+    // live plan nodes and paying quadratic re-analysis over a deep closure
+    // (same pathology GraphMetrics.distances hit at large diameter).
+    var known = (if (reflexive) seedPairs else seedPairs.limit(0))
+      .localCheckpoint(true)
+    var frontier = seedPairs.localCheckpoint(true)
     var iter = 0
     var frontierSize = 1L
     while (frontierSize > 0 && iter < maxIter) {
@@ -54,27 +60,23 @@ object Reachability {
         .distinct()
         .join(known, Seq("s", "v"), "left_anti")
         .repartition(P, col("v"))
-        .persist()
+        .localCheckpoint(true)
       frontierSize = next.count()
-      if (frontierSize > 0) {
-        val k2 = known.union(next).localCheckpoint(true)
-        known.unpersist(false)
-        known = k2
-      }
-      frontier.unpersist(false)
+      if (frontierSize > 0) known = known.union(next).localCheckpoint(true)
       frontier = next
       iter += 1
+      // superseded checkpoints are unreachable from here on; ContextCleaner
+      // reclaims their blocks, releaseScratch sweeps any stragglers
     }
     if (frontierSize > 0) {
       // loud failure beats a silently-truncated closure: the DuckDB
       // recursive-CTE oracle has no depth cap, and downstream counts would
       // be wrong with no signal
-      frontier.unpersist(false); e.unpersist(false)
+      e.unpersist(false)
       throw new IllegalStateException(
         s"transitive closure did not converge in $maxIter supersteps " +
           s"(frontier still $frontierSize pairs) — raise maxIter")
     }
-    frontier.unpersist(false)
     e.unpersist(false)
     // reflexive=false: known holds only DERIVED pairs (seeds were never
     // added), so cycle self-reachability (s,s) is already exactly right
