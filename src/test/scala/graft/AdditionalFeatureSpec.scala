@@ -112,6 +112,21 @@ class AdditionalFeatureSpec extends AnyFunSuite {
     assert(m("D").getAs[Long]("num_diff_domain_descendants") === 0L)
   }
 
+  test("distances: deep-diameter path graph, directed and undirected") {
+    // 40-hop path in ONE visit — the regime where per-level plans once
+    // chained through every previous superstep (O(depth²) live plan
+    // nodes); exact pair counts pin the semi-naïve expansion at depth
+    val n = 40
+    val edges = (0 until n).map(i => (1L, s"n$i", s"n${i + 1}"))
+      .toDF("visit_id", "src", "dst")
+    val dist = GraphMetrics.distances(edges, undirected = false)
+    assert(dist.count() === (n + 1).toLong * (n + 2) / 2) // v≥s pairs only
+    assert(dist.where($"s" === "n0" && $"v" === s"n$n").collect()
+      .head.getAs[Int]("dist") === n)
+    val udist = GraphMetrics.distances(edges, undirected = true)
+    assert(udist.count() === (n + 1).toLong * (n + 1)) // all ordered pairs
+  }
+
   test("scriptContent: ancestor script bodies via the content table") {
     // page(Script, h2) → S(Script, h1) → N; h1 has function+canvas-fp and
     // is longer; h2 has eval only

@@ -157,6 +157,17 @@ class AlgoSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("closure handles a deep chain (depth near maxIter) exactly") {
+    // 50-edge path: pins the large-diameter regime where loop-carried
+    // plans once chained O(depth²) live nodes (pre-truncation this OOM'd
+    // an 8 GB driver at sf0.001 on plan trees, not data)
+    val n = 50L
+    val chain = edgeDf((0L until n).map(i => i -> (i + 1)))
+    val cnt = Reachability.closure(chain, numPartitions = 4, maxIter = 64)
+      .count()
+    assert(cnt === (n + 1) * (n + 2) / 2)
+  }
+
   test("BFS distances + unreachable sentinel -1") {
     val es: Seq[(Long, Long)] = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 9L -> 8L)
     val src = Seq(0L).toDF("id")
