@@ -236,6 +236,51 @@ class PropertySpec extends AnyFunSuite {
     assert(pairs.isEmpty)
   }
 
+  test("distances equals plain-Scala BFS on random multi-visit digraphs " +
+    "(directed and undirected)") {
+    // guards the fused directed+undirected expansion: both slices of the
+    // tagged loop must equal an independent per-visit BFS, including the
+    // per-level anti-join semantics on dist ties
+    def refBfs(es: Seq[(Long, Long)], undirected: Boolean): Set[(Long, Long, Int)] = {
+      val adj = (if (undirected) es ++ es.map(e => (e._2, e._1)) else es)
+        .filter(e => e._1 != e._2).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      verts.flatMap { s =>
+        val dist = scala.collection.mutable.Map(s -> 0)
+        var frontier = Seq(s)
+        var d = 0
+        while (frontier.nonEmpty) {
+          d += 1
+          val next = frontier.flatMap(v => adj.getOrElse(v, Nil))
+            .distinct.filterNot(dist.contains)
+          next.foreach(w => dist(w) = d)
+          frontier = next
+        }
+        dist.map { case (v, dd) => (s, v, dd) }
+      }.toSet
+    }
+    forAllSeeded(edgeGen, cases = 4) { es =>
+      if (es.nonEmpty) {
+        // two visits sharing the engine call: visit 1 = es, visit 2 = reversed
+        val df = (es.map(e => (1L, e._1.toString, e._2.toString)) ++
+          es.map(e => (2L, e._2.toString, e._1.toString)))
+          .toDF("visit_id", "src", "dst")
+        def got(undirected: Boolean) = graft.features.GraphMetrics
+          .distances(df, undirected)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1).toLong, r.getString(2).toLong,
+            r.getInt(3))).toSet
+        def want(undirected: Boolean) =
+          refBfs(es, undirected).map { case (s, v, d) => (1L, s, v, d) } ++
+            refBfs(es.map(e => (e._2, e._1)), undirected)
+              .map { case (s, v, d) => (2L, s, v, d) }
+        assert(got(false) === want(false))
+        assert(got(true) === want(true))
+      }
+    }
+  }
+
   test("edge extraction is byte-identical across parallelism levels") {
     val p1 = graft.sources.PagesGen.generate(spark, 8, 8, 42L, 1)
     val p8 = graft.sources.PagesGen.generate(spark, 8, 8, 42L, 8)
