@@ -75,6 +75,13 @@ object GraphMetrics {
       // the ContextCleaner reclaims their blocks, and Bench/Verify's
       // releaseScratch sweeps any stragglers after the query is consumed
     }
+    if (more)
+      // loud failure beats silent truncation (same policy as
+      // Reachability.closure): a diameter beyond maxIter would otherwise
+      // yield quietly-wrong eccentricity/closeness/reachability counts
+      throw new IllegalStateException(
+        s"all-pairs expansion did not converge in $maxIter supersteps " +
+          "(graph diameter exceeds the bound) — raise maxIter")
     known
   }
 

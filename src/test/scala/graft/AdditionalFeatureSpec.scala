@@ -127,6 +127,15 @@ class AdditionalFeatureSpec extends AnyFunSuite {
     assert(udist.count() === (n + 1).toLong * (n + 1)) // all ordered pairs
   }
 
+  test("distances throws loudly past maxIter instead of truncating") {
+    val edges = (0 until 6).map(i => (1L, s"n$i", s"n${i + 1}"))
+      .toDF("visit_id", "src", "dst")
+    val ex = intercept[IllegalStateException] {
+      GraphMetrics.distances(edges, undirected = false, maxIter = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("scriptContent: ancestor script bodies via the content table") {
     // page(Script, h2) → S(Script, h1) → N; h1 has function+canvas-fp and
     // is longer; h2 has eval only
