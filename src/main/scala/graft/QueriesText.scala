@@ -24,6 +24,79 @@ object QueriesText {
 
   private val Seq(deW, enW, esW, frW) = TextStats.markers.map(_._2)
 
+  /** DuckDB mirror of [[graft.ann.Similarity.ivfKnnLattice]]: the `iters`
+    * Lloyd iterations unroll as chained CTEs (assign_k → cent_{k+1});
+    * everything up to the final cosine re-score is exact integer
+    * arithmetic (BIGINT sums, truncating `//` division — Java `/` parity
+    * verified), so the inverted file matches the engine bit-for-bit. */
+  private def ivfLatticeSql(nList: Int, nProbe: Int, iters: Int,
+                            k: Int): String = {
+    val steps = (0 until iters).map { i =>
+      s"""assign$i AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |        ORDER BY SUM(d.x * c.cj) DESC, c.cell ASC) AS rn
+         |    FROM qd d JOIN cent$i c ON c.j = d.j
+         |    GROUP BY d.vec_id, c.cell)
+         |  WHERE rn = 1),
+         |cent${i + 1} AS (
+         |  SELECT p.cell, p.j, COALESCE(CAST(u.s AS BIGINT) // u.n, p.cj) AS cj
+         |  FROM cent$i p LEFT JOIN (
+         |    SELECT a.cell, d.j, SUM(d.x) AS s, COUNT(*) AS n
+         |    FROM assign$i a JOIN qd d ON d.vec_id = a.vec_id
+         |    GROUP BY a.cell, d.j) u
+         |  ON u.cell = p.cell AND u.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qd AS (
+       |  SELECT vec_id, e.j AS j, e.x AS x FROM (
+       |    SELECT vec_id, unnest([{'j': i - 1,
+       |        'x': CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+       |                  AS BIGINT)}
+       |      for i in generate_series(1, len(embedding))]) AS e
+       |    FROM embeddings)),
+       |seeds AS (
+       |  SELECT vec_id, rn - 1 AS cell FROM (
+       |    SELECT vec_id, ROW_NUMBER() OVER
+       |      (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM embeddings)
+       |  WHERE rn <= $nList),
+       |cent0 AS (
+       |  SELECT s.cell, d.j, d.x AS cj FROM seeds s
+       |  JOIN qd d ON d.vec_id = s.vec_id),
+       |$steps,
+       |assignF AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |        ORDER BY SUM(d.x * c.cj) DESC, c.cell ASC) AS rn
+       |    FROM qd d JOIN cent$iters c ON c.j = d.j
+       |    GROUP BY d.vec_id, c.cell)
+       |  WHERE rn = 1),
+       |pcells AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT d.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |        ORDER BY SUM(d.x * c.cj) DESC, c.cell ASC) AS rn
+       |    FROM qd d JOIN cent$iters c ON c.j = d.j
+       |    WHERE d.vec_id < 10
+       |    GROUP BY d.vec_id, c.cell)
+       |  WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM pcells p JOIN assignF a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, rnk, neighbor_id FROM (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                 CAST(c.embedding AS DOUBLE[])) DESC,
+       |               cand.neighbor_id ASC) AS rnk
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+       |            JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |WHERE rnk <= $k""".stripMargin
+  }
+
   /** Shared shingle/Jaccard SQL (word 3-grams, join-blocked pairs). */
   private val jaccardSqlBody =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -238,26 +311,76 @@ object QueriesText {
         |WHERE rnk <= 5""".stripMargin)),
 
     // E2: LSH-bucketed approximate KNN (the scale path: bucket join instead
-    // of probes × corpus). Approximate → rows-only here; AnnSpec pins
-    // recall ≥ threshold vs brute force.
+    // of probes × corpus), FULLY oracled (round-4 close, the d4 move): the
+    // oracle tier uses the engine-portable quantized plane family
+    // (Similarity.rhpSignatureQuant — md5-derived 24-bit integer planes ×
+    // round(v·2²⁰) values → the bucketing sign is an EXACT BIGINT sum both
+    // engines compute identically under any summation order), so DuckDB
+    // mirrors the complete pipeline: signatures → 1-bit multi-probe bucket
+    // join → exact cosine re-score → top-5. Final ordering rides the same
+    // verified sim-gap as e1 (min adjacent gap ≫ double noise). The
+    // xxhash64 production family keeps its AnnSpec recall pins.
     ("e2_knn_lsh", (s: SparkSession, dir: String) => {
       implicit val sp = s
       val emb = t(dir, "embeddings")
       Similarity.lshKnn(emb, emb.where(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nBits = 8, probeBits = 1)
+          "vec_id", "embedding", k = 5, nBits = 8, probeBits = 1,
+          signature = Similarity.rhpSignatureQuant)
         .withColumnRenamed("rank", "rnk")
-    }, None),
+    }, Some(
+      """WITH dims AS (
+        |  SELECT vec_id, unnest([{'j': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}
+        |                         for i in generate_series(1, len(embedding))]) AS e
+        |  FROM embeddings),
+        |qd AS (SELECT vec_id, e.j AS j,
+        |         CAST(round(e.v * 1048576.0) AS BIGINT) AS q FROM dims),
+        |proj AS (
+        |  SELECT vec_id, bit,
+        |    CAST(SUM(q * (CAST(('0x' || substring(md5(bit || '_' || j), 1, 6))
+        |                       AS BIGINT) - 8388608)) AS BIGINT) AS p
+        |  FROM qd CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bit)
+        |  GROUP BY vec_id, bit),
+        |sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << bit)
+        |                           ELSE 0 END) AS BIGINT) AS sig
+        |  FROM proj GROUP BY vec_id),
+        |probes AS (
+        |  SELECT s.vec_id AS query_id, xor(s.sig, f.flip) AS sig
+        |  FROM sig s CROSS JOIN
+        |    (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS flip) f
+        |  WHERE s.vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+        |  FROM probes p JOIN sig c ON c.sig = p.sig
+        |  WHERE c.vec_id <> p.query_id)
+        |SELECT query_id, rnk, neighbor_id FROM (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                 CAST(c.embedding AS DOUBLE[])) DESC,
+        |               cand.neighbor_id ASC) AS rnk
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |            JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+        |WHERE rnk <= 5""".stripMargin)),
 
-    // E3k: IVF (inverted-file) approximate KNN — the coarse-quantizer
-    // scale path (cells built once, queries probe nProbe cells).
-    // Approximate → rows-only; AnnSpec pins recall vs brute force.
+    // E3: IVF (inverted-file) approximate KNN — the coarse-quantizer scale
+    // path (cells built once, queries probe nProbe cells), FULLY oracled
+    // (round-4 close): the oracle tier is the integer-lattice IVF
+    // (Similarity.ivfKnnLattice — plain-dot k-means on round(v·2²⁰)
+    // vectors, md5-ordered seeds, BIGINT Lloyd sums, truncating `//`
+    // centroid means), so every seed, assignment, centroid and probe-cell
+    // choice is exact integer arithmetic both engines reproduce under any
+    // execution order; DuckDB unrolls the 5 Lloyd iterations as chained
+    // CTEs. Only the final re-score cosine is float (the e1-verified
+    // sim-gap). The spherical float production path (ivfKnn) keeps its
+    // AnnSpec recall/determinism pins.
     ("e3_knn_ivf", (s: SparkSession, dir: String) => {
       implicit val sp = s
       val emb = t(dir, "embeddings")
-      Similarity.ivfKnn(emb, emb.where(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nList = 16, nProbe = 4)
+      Similarity.ivfKnnLattice(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nList = 16, nProbe = 4, iters = 5)
         .withColumnRenamed("rank", "rnk")
-    }, None),
+    }, Some(ivfLatticeSql(nList = 16, nProbe = 4, iters = 5, k = 5))),
 
     // DF1: the fused per-node dataflow-feature layer (SURVEY §2.4 A8) over
     // an events-derived storage/http edge table both engines can build —

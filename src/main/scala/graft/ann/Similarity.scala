@@ -92,16 +92,45 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Engine-portable quantized RHP signature — the ORACLE-TIER plane family
+    * (the d4 SimHash move, taken one step further): the plane component for
+    * (bit i, dim j) is a signed 24-bit integer from md5("i_j"), and vector
+    * values quantize to round(v·2²⁰), so the projection is an EXACT BIGINT
+    * sum — the sign decision is integer arithmetic and cannot differ between
+    * engines under any summation order (no float-margin argument needed),
+    * and any engine with md5 rebuilds the signature bit-for-bit. Bounds:
+    * |pc| < 2²³ and |q| ≤ 2²³ (vectors with |v| ≤ 8) keep 64-dim sums
+    * < 2⁵³ — no overflow. Any hash family is a valid RHP family, so this
+    * changes only the bucketing randomness, never the operator semantics;
+    * the production default stays [[rhpSignature]] (xxhash64 planes). */
+  def rhpSignatureQuant(vec: Column, nBits: Int): Column = {
+    val withIdx = zip_with(vec, sequence(lit(0), size(vec) - 1),
+      (v, j) => struct(
+        round(v.cast("double") * lit(1048576.0)).cast("long").as("q"),
+        j.as("j")))
+    val bits = (0 until nBits).map { i =>
+      val proj = aggregate(withIdx, lit(0L),
+        (acc, e) => acc + e.getField("q") *
+          (conv(substring(md5(concat_ws("_", lit(i), e.getField("j"))), 1, 6),
+            16, 10).cast("long") - lit(8388608L)))
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
   /** Approximate top-k: bucket corpus by rhp signature; probes search only
     * their own bucket plus `probeBits`-hamming-adjacent buckets (multi-probe
     * over single-bit flips). Recall/cost dial: nBits ↑ → smaller buckets,
-    * probeBits ↑ → higher recall. Output (query_id, rank, neighbor_id). */
+    * probeBits ↑ → higher recall. `signature` picks the plane family:
+    * production xxhash64 (default) or the engine-portable
+    * [[rhpSignatureQuant]] oracle tier. Output (query_id, rank, neighbor_id). */
   def lshKnn(corpus: DataFrame, probes: DataFrame, idCol: String,
              vecCol: String, k: Int, nBits: Int = 12,
-             probeBits: Int = 1): DataFrame = {
+             probeBits: Int = 1,
+             signature: (Column, Int) => Column = rhpSignature(_, _)): DataFrame = {
     graft.ext.GraftExtensions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      rhpSignature(col(vecCol), nBits).as("sig"))
+      signature(col(vecCol), nBits).as("sig"))
     // multi-probe: every XOR mask of hamming weight ≤ probeBits — true
     // probeBits-adjacent buckets (Σ C(nBits,i) masks), not just 1-bit flips.
     // The mask count is combinatorial in probeBits (C(32,8) ≈ 10.5M would
@@ -115,7 +144,7 @@ object Similarity {
         "probeBits or nBits, or raise nProbe on the IVF path instead")
     val probeSigs = array(masks.map(lit): _*)
     val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        rhpSignature(col(vecCol), nBits).as("psig"))
+        signature(col(vecCol), nBits).as("psig"))
       .select(col("query_id"), col("qv"), col("psig"),
         explode(probeSigs).as("flip"))
       .select(col("query_id"), col("qv"),
@@ -126,6 +155,100 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Integer-lattice IVF — the ENGINE-PORTABLE ORACLE TIER of the IVF
+    * family (the d4/e2 move applied to the whole quantizer): plain-dot
+    * k-means (the FAISS IVFFlat shape) over vectors quantized to
+    * round(v·2²⁰), with md5-ordered seeding, exact BIGINT sums for every
+    * Lloyd update, truncating integer division for the centroid means
+    * (Java/DuckDB `//` agree bit-for-bit), and exact integer dot products
+    * for every assignment and probe-cell choice — there is no float
+    * anywhere until the final candidate re-score, so any engine with md5
+    * reproduces the inverted file EXACTLY under any execution order. Only
+    * the last top-k ordering rides the float cosine, which the e1 oracle's
+    * verified sim-gap already covers. The production scale path stays
+    * [[ivfKnn]] (spherical k-means on normalized float vectors, decimal
+    * Lloyd means) with its AnnSpec recall/determinism pins.
+    * Output (query_id, rank, neighbor_id), ties (sim desc, id asc). */
+  def ivfKnnLattice(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nList: Int = 16, nProbe: Int = 4,
+                    iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.ext.GraftExtensions.register(spark)
+    val quant = (c: Column) =>
+      transform(c, v => round(v.cast("double") * lit(1048576.0)).cast("long"))
+    val nc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      quant(col(vecCol)).as("q")).persist()
+
+    // deterministic PORTABLE seeds: md5-hex order of the id string (both
+    // engines produce identical lowercase hex → identical order)
+    var centroids: Array[Array[Long]] = nc
+      .orderBy(md5(col("neighbor_id").cast("string")), col("neighbor_id"))
+      .limit(nList)
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    if (centroids.isEmpty) {
+      nc.unpersist(false)
+      return spark.range(0).select(col("id").as("query_id"),
+        lit(0).as("rank"), col("id").as("neighbor_id"))
+    }
+
+    // exact integer argmax (strict >, ties → lowest cell): |q| ≤ 2²³,
+    // |centroid| ≤ 2²³ ⇒ 64-dim dots < 2⁵³ — no overflow
+    def assignUdf(cs: Array[Array[Long]]) = udf { (v: Seq[Long]) =>
+      var best = 0; var bestDot = Long.MinValue; var c = 0
+      while (c < cs.length) {
+        val cent = cs(c); var d = 0L; var i = 0
+        while (i < cent.length && i < v.length) { d += cent(i) * v(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var it = 0
+    while (it < iters) {
+      val assigned = nc.withColumn("cell", assignUdf(centroids)(col("q")))
+      // per-(cell, dim) BIGINT sum + count → nList bounded centroid rows at
+      // the driver (the same bounded-pull class as the production path);
+      // centroid mean = Java truncating long division, which DuckDB's `//`
+      // reproduces exactly — empty cells keep their centroid
+      val sums = assigned
+        .select(col("cell"), posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone)
+      sums.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) =
+          r.getAs[Long]("s") / r.getAs[Long]("n")
+      }
+      centroids = next
+      it += 1
+    }
+
+    val cells = nc.withColumn("cell", assignUdf(centroids)(col("q")))
+    nc.unpersist(false)
+    val probeCells = udf { (v: Seq[Long]) =>
+      centroids.indices.map { c =>
+        val cent = centroids(c); var d = 0L; var i = 0
+        while (i < cent.length && i < v.length) { d += cent(i) * v(i); i += 1 }
+        (d, c)
+      }.sortBy { case (d, c) => (-d, c) }.take(nProbe).map(_._2)
+    }
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        quant(col(vecCol)).as("pq"))
+      .withColumn("cell", explode(probeCells(col("pq"))))
+    val scored = cells.join(p, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cv")).as("sim"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)

@@ -116,6 +116,49 @@ class AnnSpec extends AnyFunSuite {
     assert(again === approx)
   }
 
+  test("ivfKnnLattice: recall holds, deterministic, no retained blocks") {
+    val probes = df.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(df, probes, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val approx = Similarity.ivfKnnLattice(df, probes, "vec_id", "embedding",
+        k = 5, nList = 8, nProbe = 3, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"retained blocks: $leaked")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+    val again = Similarity.ivfKnnLattice(df, probes, "vec_id", "embedding",
+        k = 5, nList = 8, nProbe = 3, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === approx)
+  }
+
+  test("quantized oracle-tier plane family: recall holds and buckets differ") {
+    val probes = df.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(df, probes, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshKnn(df, probes, "vec_id", "embedding", k = 5,
+        nBits = 6, probeBits = 1, signature = Similarity.rhpSignatureQuant)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+    // it is a genuinely different plane family, not an alias of the default
+    val sq = df.select(col("vec_id"),
+        Similarity.rhpSignatureQuant(col("embedding"), 10).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sx = df.select(col("vec_id"),
+        Similarity.rhpSignature(col("embedding"), 10).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sq != sx)
+    // partition-layout determinism, same pin as the production family
+    val s8 = df.repartition(8)
+      .select(col("vec_id"),
+        Similarity.rhpSignatureQuant(col("embedding"), 10).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sq === s8)
+  }
+
   test("rhp signatures are deterministic across partitionings") {
     val s1 = df.repartition(1)
       .select(col("vec_id"), Similarity.rhpSignature(col("embedding"), 10))
