@@ -448,17 +448,76 @@ object QueriesText {
         |LEFT JOIN dep ON dep.visit_id = COALESCE(s.visit_id, d.visit_id)
         |  AND dep.name = COALESCE(s.name, d.name)""".stripMargin)),
 
-    // M1: multimodal metadata decode — synthetic binary assets (image/
-    // audio/video payloads behind a stub codec), partition-parallel
-    // mapPartitions decode, aggregated per kind. Generator is engine-side →
-    // rows-only here; MultimodalSpec pins exact decoded values.
+    // M1: multimodal metadata decode — synthetic binary assets (REAL
+    // PPM/BMP/WAV containers + the GRFT video stub), partition-parallel
+    // mapPartitions decode, aggregated per kind. FULLY oracled (round-4
+    // close of the LAST rows-only registry row): the generator's SHAPE
+    // parameters ride the engine-portable md5Shape hash, so DuckDB
+    // recomputes the expected aggregates directly from the generation law
+    // over generate_series — an INDEPENDENT formula-level check of the
+    // whole encode→decode round trip (header sizes, row padding, PCM
+    // frame math). Payload bytes stay SplitMix (oracle-invisible);
+    // the default-generator goldens stay pinned in MultimodalSpec.
     ("m1_asset_meta", (s: SparkSession, dir: String) => {
       implicit val sp = s
-      Assets.decodeMeta(Assets.generate(s, n = 300))
+      Assets.decodeMeta(Assets.generate(s, n = 300,
+          shapeHash = Assets.md5Shape))
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"), max(col("width")).as("max_width"),
           max(col("frames")).as("max_frames"),
           sum(col("byte_len")).as("total_bytes"))
-    }, None)
+    }, Some(
+      """WITH ii AS (SELECT unnest(generate_series(0, 299)) AS i),
+        |hk AS (
+        |  SELECT i, k,
+        |    (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |      * 4294967296 + lo AS hv
+        |  FROM (
+        |    SELECT ii.i, kk.k,
+        |      CAST(('0x' || substring(md5('42_' || ii.i || '_' || kk.k), 1, 8))
+        |           AS BIGINT) AS hi,
+        |      CAST(('0x' || substring(md5('42_' || ii.i || '_' || kk.k), 9, 8))
+        |           AS BIGINT) AS lo
+        |    FROM ii CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,8]) AS k) kk)),
+        |hp AS (
+        |  SELECT i,
+        |    MAX(CASE WHEN k = 0 THEN hv END) AS h0,
+        |    MAX(CASE WHEN k = 1 THEN hv END) AS h1,
+        |    MAX(CASE WHEN k = 2 THEN hv END) AS h2,
+        |    MAX(CASE WHEN k = 3 THEN hv END) AS h3,
+        |    MAX(CASE WHEN k = 4 THEN hv END) AS h4,
+        |    MAX(CASE WHEN k = 5 THEN hv END) AS h5,
+        |    MAX(CASE WHEN k = 6 THEN hv END) AS h6,
+        |    MAX(CASE WHEN k = 8 THEN hv END) AS h8
+        |  FROM hk GROUP BY i),
+        |params AS (
+        |  SELECT i,
+        |    ((h0 % 3) + 3) % 3 AS t,
+        |    4 + (((h1 % 8) + 8) % 8) * 4 AS w,
+        |    3 + ((h2 % 10) + 10) % 10 AS ht,
+        |    1 + ((h3 % 2) + 2) % 2 AS ch,
+        |    100 + ((h4 % 900) + 900) % 900 AS fra,
+        |    8 + ((h5 % 24) + 24) % 24 AS fr,
+        |    64 + ((h6 % 192) + 192) % 192 AS bodylen,
+        |    ((h8 % 2) + 2) % 2 AS isppm
+        |  FROM hp),
+        |assets AS (
+        |  SELECT i,
+        |    CASE t WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |           ELSE 'video' END AS kind,
+        |    CASE WHEN t = 0 THEN w WHEN t = 1 THEN 8000 ELSE 64 END AS width,
+        |    CASE WHEN t = 0 THEN 1 WHEN t = 1 THEN fra ELSE fr END AS frames,
+        |    CASE WHEN t = 0 AND isppm = 0
+        |           THEN 9 + length(CAST(w AS VARCHAR))
+        |                + length(CAST(ht AS VARCHAR)) + w * ht * 3
+        |         WHEN t = 0 THEN 54 + ((w * 3 + 3) // 4 * 4) * ht
+        |         WHEN t = 1 THEN 44 + 2 * fra * ch
+        |         ELSE 16 + bodylen END AS byte_len
+        |  FROM params)
+        |SELECT kind, COUNT(*) AS n,
+        |  CAST(MAX(width) AS INT) AS max_width,
+        |  CAST(MAX(frames) AS INT) AS max_frames,
+        |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes
+        |FROM assets GROUP BY kind""".stripMargin))
   )
 }

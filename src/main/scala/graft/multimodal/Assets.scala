@@ -76,20 +76,36 @@ object StubCodec {
 object Assets {
   import graft.core.Hashing.{bounded, h}
 
+  /** Engine-portable SHAPE hash (the d4/e2/e3 oracle recipe): first 8
+    * digest bytes of md5("seed_i_k") as a big-endian signed long — DuckDB
+    * rebuilds it from the hex prefix with the two's-complement hi/lo
+    * split, so every shape decision (kind, dims, frame/body counts) a
+    * generator built on it makes is mirrorable in pure SQL. Payload BYTES
+    * stay on SplitMix (they never reach the m1 aggregate). */
+  def md5Shape(seed: Long, i: Long, k: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${seed}_${i}_$k".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
   /** Deterministic synthetic asset table (seeded, pure function of idx —
     * no Random/wall-clock; byte-identical across runs and parallelism).
     * Images alternate REAL containers (PPM / BMP), audio is REAL WAV
-    * (PCM16); video uses the GRFT stub container. */
+    * (PCM16); video uses the GRFT stub container. `shapeHash` picks the
+    * shape-parameter hash family: SplitMix (default, MultimodalSpec
+    * goldens) or the portable [[md5Shape]] (the m1 oracle tier). */
   def generate(spark: SparkSession, n: Int, seed: Long = 42L,
-               partitions: Int = 8): Dataset[Asset] = {
+               partitions: Int = 8,
+               shapeHash: (Long, Long, Long) => Long =
+                 (s, i, k) => h(s, i, k)): Dataset[Asset] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { idx =>
       val i = idx.toInt
-      bounded(h(seed, i, 0), 3) match {
+      bounded(shapeHash(seed, i, 0), 3) match {
         case 0 => // image: PPM for even hashes, BMP (row-padded) otherwise
-          val w = 4 + bounded(h(seed, i, 1), 8) * 4
-          val ht = 3 + bounded(h(seed, i, 2), 10)
-          if (bounded(h(seed, i, 8), 2) == 0) {
+          val w = 4 + bounded(shapeHash(seed, i, 1), 8) * 4
+          val ht = 3 + bounded(shapeHash(seed, i, 2), 10)
+          if (bounded(shapeHash(seed, i, 8), 2) == 0) {
             val rgb = Array.tabulate[Byte](w * ht * 3)(p =>
               (h(seed, i, 7, p) & 0xff).toByte)
             Asset(idx, "image", Codecs.encodePpm(w, ht, rgb))
@@ -100,14 +116,14 @@ object Assets {
             Asset(idx, "image", Codecs.encodeBmp(w, ht, bgr))
           }
         case 1 => // audio: PCM16 WAV
-          val ch = 1 + bounded(h(seed, i, 3), 2)
-          val frames = 100 + bounded(h(seed, i, 4), 900)
+          val ch = 1 + bounded(shapeHash(seed, i, 3), 2)
+          val frames = 100 + bounded(shapeHash(seed, i, 4), 900)
           val samples = Array.tabulate[Short](frames * ch)(p =>
             (h(seed, i, 7, p) & 0xffff).toShort)
           Asset(idx, "audio", Codecs.encodeWav(ch, 8000, samples))
         case 2 => // video: GRFT stub container (real codecs need libs)
-          val fr = 8 + bounded(h(seed, i, 5), 24)
-          val bodyLen = 64 + bounded(h(seed, i, 6), 192)
+          val fr = 8 + bounded(shapeHash(seed, i, 5), 24)
+          val bodyLen = 64 + bounded(shapeHash(seed, i, 6), 192)
           val body = Array.tabulate[Byte](bodyLen)(p =>
             (h(seed, i, 7, p) & 0xff).toByte)
           Asset(idx, "video", StubCodec.encode("video", 64, 48, 3, fr, body))

@@ -11,6 +11,34 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("md5Shape equals the hex-prefix recipe DuckDB mirrors") {
+    // independent derivation: first 16 hex chars of the md5 as a
+    // two's-complement BIGINT (the d4 hi/lo split the m1 oracle SQL uses)
+    for ((seed, i, k) <- Seq((42L, 0L, 0L), (42L, 5L, 3L), (42L, 299L, 8L),
+                             (7L, 123L, 6L))) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${seed}_${i}_$k".getBytes("UTF-8"))
+        .take(8).map(b => f"${b & 0xff}%02x").mkString
+      val expect = new java.math.BigInteger(hex, 16).longValue()
+      assert(Assets.md5Shape(seed, i, k) === expect, s"($seed,$i,$k)")
+    }
+    // genuinely different family from the SplitMix default
+    assert(Assets.md5Shape(42L, 1L, 1L) !== graft.core.Hashing.h(42L, 1L, 1L))
+  }
+
+  test("portable-shape generator still decodes cleanly end-to-end") {
+    val metas = Assets.decodeMeta(
+      Assets.generate(spark, n = 60, shapeHash = Assets.md5Shape)).collect()
+    assert(metas.length === 60) // no malformed drops
+    assert(metas.map(_.kind).toSet === Set("image", "audio", "video"))
+    // decoded dims re-derive from the SAME portable hash the oracle uses
+    metas.filter(_.kind == "image").foreach { m =>
+      val w = 4 + graft.core.Hashing.bounded(
+        Assets.md5Shape(42L, m.asset_id, 1L), 8) * 4
+      assert(m.width === w, s"asset ${m.asset_id}")
+    }
+  }
+
   test("stub codec round-trips header fields") {
     val body = Array.tabulate[Byte](100)(_.toByte)
     val enc = StubCodec.encode("video", 640, 480, 3, 24, body)
