@@ -27,9 +27,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - every computed column is aliased identically on both sides;
   *  - approximate operators (LSH, SimHash, multi-probe ANN) are either
   *    oracled against exact ground truth where recall is provably certain
-  *    for this corpus (d3), oracled exactly because the blocking is
-  *    recall-lossless and the hash is engine-portable (d4), or rows-only +
-  *    ScalaTest recall bounds (e2, e3).
+  *    for this corpus (d3), or oracled exactly through an engine-portable
+  *    hash/quantizer tier — md5-derived token hash with recall-lossless
+  *    blocking (d4), quantized-plane signatures whose bucket sign is an
+  *    exact BIGINT sum (e2), integer-lattice IVF with BIGINT Lloyd
+  *    arithmetic (e3), md5-derived generator shape parameters (m1). The
+  *    production xxhash64/float paths keep ScalaTest recall/determinism
+  *    pins. Every registered query carries an oracle.
   */
 object Queries {
 

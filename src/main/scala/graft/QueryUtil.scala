@@ -60,9 +60,25 @@ object QueryUtil {
     * a plain parquet scan: re-scannable by both join branches, column-pruned
     * and filter-pushed by Catalyst like any other source. */
   def scratchTable(df: DataFrame, name: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scratch_" +
-      s"${ProcessHandle.current().pid()}/$name"
+    // keyed (pid, session identity, name): two sessions in one JVM running
+    // the same query must not race overwrite-vs-read on a shared path. The
+    // pid root is removed at JVM exit so repeated sweeps on a soak host
+    // don't accumulate /tmp trees (pids recycle slowly).
+    val dir = s"$scratchRoot/s${System.identityHashCode(df.sparkSession)}/$name"
     df.write.mode("overwrite").parquet(dir)
     df.sparkSession.read.parquet(dir)
+  }
+
+  private lazy val scratchRoot: String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_scratch_" +
+      s"${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }))
+    root
   }
 }

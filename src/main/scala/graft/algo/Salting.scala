@@ -18,47 +18,59 @@ import org.apache.spark.sql.functions._
   *    by a count threshold, for hub-broadcast join plans: join cold
   *    normally, broadcast the hot-key slice.
   *
-  * The salt hashes all columns PLUS a per-duplicate ordinal: content alone
-  * degenerates exactly on the hub case this module exists for (rows of a
-  * hot key that are identical — or identical outside the key — would all
-  * land on ONE salt). The ordinal is a DETERMINISTIC row_number within
-  * groups of fully-identical rows — NOT monotonically_increasing_id(),
-  * whose partition-dependent values would make the phase-1 shuffle input
-  * nondeterministic: a shuffle-fetch failure forcing partial map-stage
-  * recomputation could re-salt rows differently across attempts and
-  * silently double-count/drop rows (the SPARK-23207 corruption class —
-  * SQL does not mark such a stage indeterminate for full rerun). With the
-  * content-ranked ordinal, a retried task reproduces the identical salted
-  * multiset, so replay/checkpoint-resume of salted plans stays exact
-  * (F19 determinism rule).
+  * Determinism AND skew-safety come from a duplicate-collapse phase 0:
+  * exact-duplicate rows are first folded into (distinct row, `__w`
+  * multiplicity) by an ALGEBRAIC groupBy over all columns — map-side
+  * combine bounds even a hub of byte-identical rows by #map-partitions.
+  * The salt is then a pure content hash of the distinct row, so distinct
+  * rows of a hot key spread uniformly across salts while duplicates cannot
+  * funnel (they are one weighted row). Every stage is a pure function of
+  * the data — no monotonically_increasing_id() (whose partition-dependent
+  * values make the shuffle input nondeterministic: a shuffle-fetch failure
+  * forcing partial map-stage recomputation could re-salt rows differently
+  * across attempts and silently double-count/drop rows, the SPARK-23207
+  * corruption class) and no row_number window over duplicate groups (which
+  * funnels a hub of identical rows through ONE window task — the very skew
+  * this module exists to prevent). Replay/checkpoint-resume of salted
+  * plans stays exact (F19 determinism rule).
   */
 object Salting {
 
-  /** Row salt in [0, salts) — content hash mixed with a deterministic
-    * per-duplicate rank so duplicate rows of a hot key still spread across
-    * salts. Costs one extra shuffle (the all-columns window): which
-    * physical row receives which rank is arbitrary, but ranked rows are
-    * identical by construction, so the salted multiset — and hence every
-    * downstream aggregate — is a pure function of the data. */
-  def salt(df: DataFrame, salts: Int): Column = {
-    val dupRank = org.apache.spark.sql.functions.row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(df.columns.map(col): _*).orderBy(lit(1)))
-    pmod(xxhash64(df.columns.map(col) :+ dupRank.cast("long"): _*),
-      lit(salts))
-  }
+  /** Weight column added by the duplicate-collapse phase; partial
+    * aggregates see each DISTINCT row once, with its multiplicity here. */
+  val weightCol = "__w"
 
-  /** Two-phase salted aggregation for algebraic aggregates expressed as
-    * (partial, merge) pairs on the same column name:
-    * e.g. count → (count(*) as c, sum(c)); sum(x) → (sum(x) as s, sum(s)).
+  /** Phase 0: collapse exact duplicates to (distinct row, multiplicity).
+    * Algebraic count → map-side combined: a hub of identical rows costs
+    * one partial row per map partition, never a single-task funnel. */
+  def collapseDuplicates(df: DataFrame): DataFrame =
+    df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as(weightCol))
+
+  /** Deterministic row salt in [0, salts): pure content hash of the
+    * distinct row. Safe because it is only ever applied AFTER
+    * [[collapseDuplicates]] — identical rows can no longer collide onto
+    * one salt as raw rows, they are one weighted row. */
+  def salt(df: DataFrame, salts: Int, exclude: Set[String] = Set(weightCol)): Column =
+    pmod(xxhash64(df.columns.filterNot(exclude).map(col): _*), lit(salts))
+
+  /** Two-phase salted aggregation. Phase 0 collapses exact duplicates
+    * ([[collapseDuplicates]]); phase 1 aggregates DISTINCT rows by
+    * (keys, salt); phase 2 merges the per-salt partials by key.
     *
-    * @param partial aggregations for the (key, salt) phase
+    * `partial` aggregates therefore see each distinct row ONCE with its
+    * multiplicity in `__w` and must be weight-aware:
+    * count → `sum(col("__w"))`; sum(x) → `sum(x * __w)`; min/max/distinct
+    * are weight-invariant and unchanged; collect-style partials repeat
+    * values explicitly (`array_repeat(x, __w)`).
+    *
+    * @param partial weight-aware aggregations for the (key, salt) phase
     * @param merge   aggregations over the partials for the key phase
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 partial: Seq[Column], merge: Seq[Column]): DataFrame = {
     val keyCols = keys.map(col)
-    df.withColumn("__salt", salt(df, salts))
+    val collapsed = collapseDuplicates(df)
+    collapsed.withColumn("__salt", salt(collapsed, salts))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keyCols: _*)
@@ -69,7 +81,7 @@ object Salting {
   def saltedCount(df: DataFrame, key: String, salts: Int,
                   as: String = "count"): DataFrame =
     saltedAgg(df, Seq(key), salts,
-      Seq(count(lit(1)).as("__c")), Seq(sum(col("__c")).as(as)))
+      Seq(sum(col(weightCol)).as("__c")), Seq(sum(col("__c")).as(as)))
 
   /** Split rows into (hot, cold) by key frequency ≥ threshold. The hot
     * slice's distinct keys are few (by definition of a threshold ≫ mean),

@@ -233,6 +233,11 @@ object Similarity {
       it += 1
     }
 
+    // the returned plan is fully LAZY and stateless (same contract as
+    // ivfKnn): quantization + final cell assignment recompute from `corpus`
+    // at action time — one extra corpus pass in exchange for zero retained
+    // blocks after this call (registry hygiene). Callers reusing the
+    // inverted file across query batches should persist `cells` themselves.
     val cells = nc.withColumn("cell", assignUdf(centroids)(col("q")))
     nc.unpersist(false)
     val probeCells = udf { (v: Seq[Long]) =>

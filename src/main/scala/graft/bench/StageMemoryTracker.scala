@@ -39,7 +39,9 @@ final class StageMemoryTracker extends SparkListener {
   private val order = new java.util.concurrent.CopyOnWriteArrayList[String]()
 
   private def pool(name: String): PhaseMetrics = {
-    if (!order.contains(name)) order.add(name)
+    // addIfAbsent: the listener-bus thread (onTaskEnd) and the driver
+    // (phase) race here — a check-then-act would record a phase twice
+    order.addIfAbsent(name)
     phases.computeIfAbsent(name, _ => new PhaseMetrics)
   }
 

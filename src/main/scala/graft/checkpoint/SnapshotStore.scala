@@ -148,9 +148,12 @@ final class SnapshotStore(root: String, runId: String) extends CheckpointStore {
     val dd = dataDir(step)
     state.write.mode("overwrite").parquet(dd.toString)
 
-    val parts = Files.list(dd).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val listing = Files.list(dd) // close the stream: one leaked fd per
+    val parts = try {            // commit exhausts the ulimit on long soaks
+      listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+    } finally listing.close()
     val manifest =
       s"""{"snapshot_id":$step,"rows":${metrics.rows},""" +
         s""""part_rows":[${metrics.partRows.mkString(",")}],""" +
@@ -235,8 +238,10 @@ final class SnapshotStore(root: String, runId: String) extends CheckpointStore {
           Files.deleteIfExists(manifestPath(s.step))
           val dd = dataDir(s.step)
           if (Files.isDirectory(dd)) {
-            Files.walk(dd).iterator().asScala.toSeq.reverse
+            val walk = Files.walk(dd)
+            try walk.iterator().asScala.toSeq.reverse
               .foreach(Files.deleteIfExists(_))
+            finally walk.close()
           }
         }
         dropped.map(_.step)

@@ -42,6 +42,14 @@ case class JsonGetExpression(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "json_get"
   override def foldable: Boolean = children.forall(_.foldable)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"json_get takes (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
 
   override def nullSafeEval(json: Any, name: Any): Any =
     JsonExpressions.field(json.asInstanceOf[UTF8String],

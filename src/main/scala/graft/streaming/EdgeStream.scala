@@ -147,11 +147,23 @@ object EdgeStream {
           // empty dir is a fresh start, not an unreadable table)
           val hPath = new org.apache.hadoop.fs.Path(path)
           val fs = hPath.getFileSystem(sc.hadoopConfiguration)
-          val hasTable = fs.exists(hPath) &&
-            fs.listStatus(hPath).exists(d => d.isDirectory &&
-              d.getPath.getName.startsWith("batch=") &&
-              fs.listStatus(d.getPath)
-                .exists(_.getPath.getName.endsWith(".parquet")))
+          val entries =
+            if (fs.exists(hPath)) fs.listStatus(hPath).toSeq else Seq.empty
+          // a FLAT parquet layout (e.g. an appendEdges table) at this path
+          // must fail loudly: silently treating it as a fresh start would
+          // drop its edges from the known set AND mixing batch= partition
+          // dirs into it makes the directory unreadable (conflicting
+          // structures) for every subsequent recovery/external read
+          val flatParts = entries.exists(e =>
+            !e.isDirectory && e.getPath.getName.endsWith(".parquet"))
+          if (flatParts) throw new IllegalStateException(
+            s"$path holds a flat (non batch=<id> partitioned) parquet " +
+              "table - pageRankTrigger cannot append to it; point it at a " +
+              "fresh directory or migrate the table into batch= partitions")
+          val hasTable = entries.exists(d => d.isDirectory &&
+            d.getPath.getName.startsWith("batch=") &&
+            fs.listStatus(d.getPath)
+              .exists(_.getPath.getName.endsWith(".parquet")))
           if (hasTable) {
             // partition discovery surfaces the batch column — drop it: the
             // known set is keyed on edges only

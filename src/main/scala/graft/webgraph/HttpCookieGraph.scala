@@ -27,10 +27,16 @@ object HttpCookieGraph {
     * @return (cookieNodes, cookieEdges) */
   def build(httpEdges: DataFrame, httpNodes: DataFrame): (DataFrame, DataFrame) = {
     GraftExtensions.register(httpEdges.sparkSession)
+    // prefilter must be a SUPERSET of the combined-list header scan below:
+    // every name the scan matches ("Cookie", "Set-Cookie", "set-cookie")
+    // can appear on EITHER side (the reference indexes one MultiDict over
+    // reqattr+respattr combined). contains("Cookie") subsumes "Set-Cookie";
+    // the lowercase variant needs its own check on both sides.
     val bearing = httpEdges.where(
-      col("respattr").contains("Set-Cookie") ||
-        col("respattr").contains("set-cookie") ||
-        col("reqattr").contains("Cookie"))
+      col("reqattr").contains("Cookie") ||
+        col("respattr").contains("Cookie") ||
+        col("reqattr").contains("set-cookie") ||
+        col("respattr").contains("set-cookie"))
 
     // both header lists feed BOTH scans: the reference indexes one MultiDict
     // built over reqattr+respattr combined (http_storage_edges.py:84-89)

@@ -31,8 +31,9 @@ class SaltingSpec extends AnyFunSuite {
         max("v").as("mx"))
       .collect().map(r => (r.getLong(0), (r.getDecimal(1), r.getDouble(2),
         r.getDouble(3)))).toMap
+    // weight-aware partials: sum rides v·__w, min/max are weight-invariant
     val salted = Salting.saltedAgg(skewed, Seq("k"), 16,
-      partial = Seq(sum(col("v").cast("decimal(20,2)")).as("s"),
+      partial = Seq(sum(col("v").cast("decimal(20,2)") * col("__w")).as("s"),
         min("v").as("mn"), max("v").as("mx")),
       merge = Seq(sum(col("s")).as("s"), min("mn").as("mn"),
         max("mx").as("mx")))
@@ -53,16 +54,26 @@ class SaltingSpec extends AnyFunSuite {
     assert(cold.count() === 1000L)
   }
 
-  test("salt spreads a hub of IDENTICAL rows across salts (the degenerate " +
-    "case content-only hashing collapses), final aggregate partition-" +
-    "invariant") {
-    // 5000 byte-identical rows of one hot key: a content-only salt maps
-    // them all to ONE salt value and phase 1 degenerates to the unsalted
-    // hub — the exact case the module exists to prevent
+  test("a hub of IDENTICAL rows collapses to ONE weighted row (no funnel, " +
+    "no spread needed); distinct hot-key rows spread across salts; final " +
+    "aggregate partition-invariant") {
+    // 5000 byte-identical rows of one hot key: phase 0's algebraic
+    // duplicate collapse (map-side combined) folds them into a single
+    // (row, __w=5000) — neither a content-salt collision NOR a window
+    // funnel can occur because no stage ever collates the raw duplicates
     val hub = Seq.fill(5000)((0L, 1.0)).toDF("k", "v")
-    val perSalt = hub.withColumn("s", Salting.salt(hub, 16))
+    val collapsed = Salting.collapseDuplicates(hub).collect()
+    assert(collapsed.length === 1)
+    assert(collapsed.head.getAs[Long]("__w") === 5000L)
+    assert(Salting.saltedCount(hub, "k", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(0L -> 5000L))
+    // DISTINCT rows of a hot key (the post-collapse shape) spread by the
+    // pure content salt — the hot key's phase-1 work parallelizes
+    val hotDistinct = Salting.collapseDuplicates(
+      (1 to 5000).map(i => (0L, i.toDouble)).toDF("k", "v"))
+    val perSalt = hotDistinct.withColumn("s", Salting.salt(hotDistinct, 16))
       .groupBy("s").count().collect().map(_.getLong(1))
-    assert(perSalt.length > 8, s"hub collapsed onto ${perSalt.length} salts")
+    assert(perSalt.length > 8, s"hot key spread over ${perSalt.length} salts")
     assert(perSalt.max < 5000L / 4, s"worst salt holds ${perSalt.max} rows")
     // the salt-invariant contract: the FINAL aggregate is identical across
     // partitionings (per-salt partials may differ — documented)

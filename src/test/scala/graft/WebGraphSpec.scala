@@ -154,6 +154,31 @@ class WebGraphSpec extends AnyFunSuite {
     assert(nodes.collect().forall(_.getAs[String]("type") === "Storage"))
   }
 
+  test("http cookies: prefilter is a superset of the combined-list scan " +
+    "(response-side Cookie, request-side lowercase set-cookie)") {
+    import spark.implicits._
+    // rows whose ONLY cookie signal is on the side the old prefilter did
+    // not check — the reference's combined MultiDict emits edges for both
+    // (http_storage_edges.py:84-95), so the engine prefilter must pass them
+    val httpEdges = Seq(
+      (1L, "http://a.example/", "http://cdn.example/x",
+        "[]", """[["Cookie","rc=1"]]""", "200", "ts1", "N/A"),
+      (1L, "http://a.example/", "http://cdn.example/y",
+        """[["set-cookie","lc=2"]]""", "[]", "200", "ts2", "N/A")
+    ).toDF("visit_id", "src", "dst", "reqattr", "respattr",
+      "response_status", "time_stamp", "action")
+    val httpNodes = Seq(
+      (1L, "http://cdn.example/x", "http://a.example/"),
+      (1L, "http://cdn.example/y", "http://a.example/"))
+      .toDF("visit_id", "name", "top_level_url")
+    val (_, edges) = HttpCookieGraph.build(httpEdges, httpNodes)
+    val byAction = edges.collect().groupBy(_.getAs[String]("action"))
+    assert(byAction.getOrElse("get", Array.empty)
+      .map(_.getAs[String]("dst")).toSet === Set("rc|$$|cdn.example"))
+    assert(byAction.getOrElse("set", Array.empty)
+      .map(_.getAs[String]("dst")).toSet === Set("lc|$$|cdn.example"))
+  }
+
   test("cookie parse parity quirks: jsSet value drop, jsGet '=' gating, " +
     "Set-Cookie morsels, first-header-only, unescape") {
     import graft.webgraph.CookieParse
