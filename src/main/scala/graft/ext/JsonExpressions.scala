@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -37,19 +37,16 @@ object JsonExpressions {
 
 /** `json_get(json, field)` — top-level object field read. */
 case class JsonGetExpression(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_get"
   override def foldable: Boolean = children.forall(_.foldable)
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == StringType && right.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"json_get takes (string, string), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-  }
+  // implicit-cast (not a hard check): all-null void columns and other
+  // string-coercible inputs behave like they do for builtin string
+  // functions; genuinely incompatible types still fail analysis
+  // result type inferred: AbstractDataType is private[sql]
+  override def inputTypes = Seq(StringType, StringType)
 
   override def nullSafeEval(json: Any, name: Any): Any =
     JsonExpressions.field(json.asInstanceOf[UTF8String],
@@ -70,19 +67,12 @@ case class JsonGetExpression(left: Expression, right: Expression)
 
 /** `json_array_get(json, idx)` — top-level array element read. */
 case class JsonArrayGetExpression(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_array_get"
   override def foldable: Boolean = children.forall(_.foldable)
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == StringType && right.dataType == IntegerType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"json_array_get takes (string, int), got " +
-        s"(${left.dataType.sql}, ${right.dataType.sql})")
-  }
+  override def inputTypes = Seq(StringType, IntegerType)
 
   override def nullSafeEval(json: Any, idx: Any): Any =
     JsonExpressions.index(json.asInstanceOf[UTF8String],
