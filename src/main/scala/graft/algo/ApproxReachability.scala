@@ -42,7 +42,8 @@ object ApproxReachability {
       .repartition(P, col("id"))
 
     val cfg = Superstep.Config(P, maxIter, tol = 0.0)
-    val res = Superstep.run(spark, init, cfg) { (state, _) =>
+    // finally: an abort inside the loop must still drop the cached edges
+    val res = try Superstep.run(spark, init, cfg) { (state, _) =>
       // pull: each vertex unions its successors' sketches
       val fromSucc = e
         .join(state.select(col("id"), col("sk").as("ssk")),
@@ -68,9 +69,8 @@ object ApproxReachability {
     } { state =>
       state.agg(coalesce(sum(col("changed")), lit(0L))).collect()(0)
         .getLong(0).toDouble
-    }
+    } finally e.unpersist(false)
 
-    e.unpersist(false)
     // own id is inside the sketch → estimate − 1 ≈ descendants
     res.state.select(col("id"),
       (col("est") - 1).cast("long").as("descendants_approx"))

@@ -49,7 +49,8 @@ object Bfs {
 
     val cfg = cfg0.getOrElse(Superstep.Config(P, maxIter, tol = 0.0))
 
-    val res = Superstep.run(spark, init, cfg) { (state, _) =>
+    // finally: an abort inside the loop must still drop the cached edges
+    val res = try Superstep.run(spark, init, cfg) { (state, _) =>
       // relax only from the FRONTIER (changed last step): in synchronous
       // unit-weight BFS a settled vertex's offers were all made the round
       // after it changed, so re-relaxing the settled set every round is
@@ -69,9 +70,8 @@ object Bfs {
         .drop("old")
     } { state =>
       state.agg(coalesce(sum(col("changed")), lit(0L))).collect()(0).getLong(0).toDouble
-    }
+    } finally e.unpersist(false)
 
-    e.unpersist(false)
     res.copy(state = res.state.select(
       col("id"), when(col("dist") >= INF, -1L).otherwise(col("dist")).as("dist")))
   }

@@ -49,7 +49,8 @@ object ConnectedComponents {
 
     val cfg = cfg0.getOrElse(Superstep.Config(P, maxIter, tol = 0.0))
 
-    val res = Superstep.run(spark, init, cfg) { (state, _) =>
+    // finally: an abort inside the loop must still drop the cached edges
+    val res = try Superstep.run(spark, init, cfg) { (state, _) =>
       // hook: min neighbor label
       val nbrMin = sym
         .join(state.select(col("id"), col("comp").as("ncomp")),
@@ -72,9 +73,8 @@ object ConnectedComponents {
         .drop("old")
     } { state =>
       state.agg(coalesce(sum(col("changed")), lit(0L))).collect()(0).getLong(0).toDouble
-    }
+    } finally sym.unpersist(false)
 
-    sym.unpersist(false)
     res.copy(state = res.state.select("id", "comp"))
   }
 }

@@ -54,7 +54,8 @@ object HyperBall {
       .repartition(P, col("id"))
 
     val cfg = cfg0.getOrElse(Superstep.Config(P, maxIter, tol = 0.0))
-    val res = Superstep.run(spark, init, cfg) { (state, step) =>
+    // finally: an abort inside the loop must still drop the cached edges
+    val res = try Superstep.run(spark, init, cfg) { (state, step) =>
       val t = step + 1 // distance reached by this superstep's expansion
       // each vertex unions its predecessors' balls (incoming direction)
       val fromPred = e
@@ -86,9 +87,8 @@ object HyperBall {
     } { state =>
       state.agg(coalesce(sum(col("changed")), lit(0L))).collect()(0)
         .getLong(0).toDouble
-    }
+    } finally e.unpersist(false)
 
-    e.unpersist(false)
     res.state.select(col("id"),
       (col("est") - 1).cast("long").as("reach_approx"),
       col("sumd").as("sum_dist_approx"),

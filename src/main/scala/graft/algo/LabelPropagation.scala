@@ -41,7 +41,8 @@ object LabelPropagation {
 
     val cfg = cfg0.getOrElse(Superstep.Config(P, maxIter, tol = 0.0))
 
-    val res = Superstep.run(spark, init, cfg) { (state, _) =>
+    // finally: an abort inside the loop must still drop the cached edges
+    val res = try Superstep.run(spark, init, cfg) { (state, _) =>
       val votes = sym
         .join(state.select(col("id"), col("label").as("nlabel")),
               sym("src") === col("id"))
@@ -61,9 +62,8 @@ object LabelPropagation {
         .drop("old")
     } { state =>
       state.agg(coalesce(sum(col("changed")), lit(0L))).collect()(0).getLong(0).toDouble
-    }
+    } finally sym.unpersist(false)
 
-    sym.unpersist(false)
     res.copy(state = res.state.select("id", "label"))
   }
 }

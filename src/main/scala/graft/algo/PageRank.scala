@@ -95,7 +95,10 @@ object PageRank {
 
     val cfg = cfg0.getOrElse(Superstep.Config(P, p.maxIter, p.tol))
 
-    val res = Superstep.run(spark, init, cfg) { (state, _) =>
+    // finally, not post-hoc: an abort inside the superstep loop (failed
+    // commit, interrupted convergence) must still drop the cached edge and
+    // vertex tables, or they pin block-manager storage for the session
+    val res = try Superstep.run(spark, init, cfg) { (state, _) =>
       // dangling mass of the CURRENT ranks — computed as a broadcastable
       // 1-row aggregate folded into the plan (no separate driver action)
       val danglingMass =
@@ -125,9 +128,8 @@ object PageRank {
         .drop("prev")
     } { state =>
       state.agg(coalesce(max(col("delta")), lit(0.0))).collect()(0).getDouble(0)
-    }
+    } finally { e.unpersist(false); verts.unpersist(false) }
 
-    e.unpersist(false); verts.unpersist(false)
     res.copy(state = res.state.select("id", "rank"))
   }
 }

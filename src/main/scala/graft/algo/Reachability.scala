@@ -62,12 +62,21 @@ object Reachability {
         .repartition(P, col("v"))
         .localCheckpoint(true)
       frontierSize = next.count()
-      if (frontierSize > 0) known = known.union(next).localCheckpoint(true)
+      // superseded checkpoints are released NOW (Dataset.unpersist is a
+      // no-op on them — graft.core.Checkpoints doc): `next` is eager, so
+      // nothing reads the old frontier/known again. Deterministic release
+      // beats waiting for driver GC + ContextCleaner — over a deep closure
+      // the stragglers are O(diameter) full state copies.
+      if (frontier ne known) graft.core.Checkpoints.release(frontier)
+      if (frontierSize > 0) {
+        val grown = known.union(next).localCheckpoint(true)
+        graft.core.Checkpoints.release(known)
+        known = grown
+      }
       frontier = next
       iter += 1
-      // superseded checkpoints are unreachable from here on; ContextCleaner
-      // reclaims their blocks, releaseScratch sweeps any stragglers
     }
+    if (frontier ne known) graft.core.Checkpoints.release(frontier)
     if (frontierSize > 0) {
       // loud failure beats a silently-truncated closure: the DuckDB
       // recursive-CTE oracle has no depth cap, and downstream counts would

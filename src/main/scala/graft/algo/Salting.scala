@@ -43,8 +43,12 @@ object Salting {
   /** Phase 0: collapse exact duplicates to (distinct row, multiplicity).
     * Algebraic count → map-side combined: a hub of identical rows costs
     * one partial row per map partition, never a single-task funnel. */
-  def collapseDuplicates(df: DataFrame): DataFrame =
+  def collapseDuplicates(df: DataFrame): DataFrame = {
+    require(!df.columns.contains(weightCol),
+      s"input already has a '$weightCol' column — reserved for the " +
+        "duplicate-collapse multiplicity (rename it before salting)")
     df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as(weightCol))
+  }
 
   /** Deterministic row salt in [0, salts): pure content hash of the
     * distinct row. Safe because it is only ever applied AFTER

@@ -118,13 +118,21 @@ object Superstep {
     // (unwrapped) — at the next checkpoint or at loop end, never silently.
     def awaitPending(current: DataFrame): Unit = pending.foreach {
       case (f, df) =>
-        try f.get()
+        pending = None // cleared on BOTH paths; a failed commit must not
+        try f.get()    // leave the snapshot's blocks pinned for the session
         catch {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
+          case e: java.util.concurrent.ExecutionException =>
+            if (df ne current) graft.core.Checkpoints.release(df)
+            throw e.getCause
         }
-        if (df ne current) df.unpersist(false)
-        pending = None
+        if (df ne current) graft.core.Checkpoints.release(df)
     }
+    // loop-carried checkpoints, visible to the abort-path finally: on an
+    // exception nothing downstream can read them again, so they must be
+    // released (Dataset.unpersist would silently no-op — Checkpoints doc)
+    var state: DataFrame = null
+    var prevState: DataFrame = null
+    var completed = false
     try {
       val metrics = scala.collection.mutable.ArrayBuffer[StepMetrics]()
       // resume from the newest committed superstep if a store has one
@@ -135,12 +143,13 @@ object Superstep {
             org.apache.spark.sql.functions.col(df.columns.head)))
         case None => (0, init)
       }
-      var state = state0.localCheckpoint(true)
+      state = state0.localCheckpoint(true)
       var step = startStep
       var m = Double.MaxValue
       while (step < cfg.maxIter && m > cfg.tol) {
         val t0 = System.nanoTime()
         val prev = state
+        prevState = prev
         state = next(prev, step).localCheckpoint(true) // job 1: materialize
         m = if (cfg.fixedStep) Double.MaxValue
             else measure(state)                        // job 2: cached scan
@@ -170,12 +179,29 @@ object Superstep {
         } else StepMetrics(step, m, -1L, secs, Seq.empty)
         metrics += sm
         // the pending snapshot's blocks must outlive its background write
-        if (!pending.exists(_._2 eq prev)) prev.unpersist(false)
+        if (!pending.exists(_._2 eq prev)) graft.core.Checkpoints.release(prev)
+        prevState = null
       }
       awaitPending(state) // final commit durable before Result returns
+      completed = true
       Result(state, step, metrics.toSeq)
     } finally {
       exitLoop(conf, coalesceKey)
+      // abort path (exception in next()/measure()/a failed commit): wait
+      // any in-flight write out, then release every pinned checkpoint the
+      // caller can no longer reach — the pending snapshot, the in-flight
+      // prev, and the current state. The primary exception wins; a commit
+      // failure here is not rethrown.
+      pending.foreach { case (f, df) =>
+        try f.get() catch { case _: Throwable => () }
+        if ((df ne state) && (df ne prevState)) graft.core.Checkpoints.release(df)
+        pending = None
+      }
+      if (!completed) {
+        if (prevState != null && (prevState ne state))
+          graft.core.Checkpoints.release(prevState)
+        if (state != null) graft.core.Checkpoints.release(state)
+      }
       if (ckptPool != null) ckptPool.shutdown() // daemon thread; in-flight
       // work only matters on the success path, which awaited it above
     }

@@ -72,6 +72,19 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Empty (query_id, rank, neighbor_id) frame with the SAME column types
+    * the non-empty path produces — query_id from the probes' id, neighbor_id
+    * from the corpus' id. A hardcoded long-typed empty frame forks the
+    * schema between the two return branches and breaks any caller that
+    * unions results across shards/batches on the empty-input path. */
+  private def emptyResult(spark: org.apache.spark.sql.SparkSession,
+                          probes: DataFrame, corpus: DataFrame,
+                          idCol: String): DataFrame =
+    spark.range(0).select(
+      col("id").cast(probes.schema(idCol).dataType).as("query_id"),
+      lit(0).as("rank"),
+      col("id").cast(corpus.schema(idCol).dataType).as("neighbor_id"))
+
   /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
     * xxhash64 mapped to [-1, 1). Content-derived — identical across runs
     * and cluster sizes (SURVEY.md §2.7 F19 rule). */
@@ -195,8 +208,7 @@ object Similarity {
       .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
     if (centroids.isEmpty) {
       nc.unpersist(false)
-      return spark.range(0).select(col("id").as("query_id"),
-        lit(0).as("rank"), col("id").as("neighbor_id"))
+      return emptyResult(spark, probes, corpus, idCol)
     }
 
     // exact integer argmax (strict >, ties → lowest cell): |q| ≤ 2²³,
@@ -290,8 +302,7 @@ object Similarity {
       .collect().map(_.getSeq[Double](1).toArray)
     if (centroids.isEmpty) { // empty corpus → empty result, not a crash
       nc.unpersist(false)
-      return spark.range(0).select(col("id").as("query_id"),
-        lit(0).as("rank"), col("id").as("neighbor_id"))
+      return emptyResult(spark, probes, corpus, idCol)
     }
 
     def assignUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>

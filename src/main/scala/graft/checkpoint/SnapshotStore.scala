@@ -77,14 +77,32 @@ final class SnapshotStore(root: String, runId: String) extends CheckpointStore {
     if (body.isEmpty) Seq.empty else body.split(",").toSeq.map(_.trim.toLong)
   }
 
+  // escape-aware: the writer emits elements through Json.str, so a path
+  // containing a comma/quote/backslash must tokenize on string literals
+  // (not split on ',') and unescape — symmetric with the writer
   private def strArr(s: String, k: String): Seq[String] = {
     val i = s.indexOf("\"" + k + "\":[")
     require(i >= 0, s"missing array $k")
-    val start = i + k.length + 4
-    val e = s.indexOf("]", start)
-    val body = s.substring(start, e).trim
-    if (body.isEmpty) Seq.empty
-    else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    var j = i + k.length + 4
+    val out = Seq.newBuilder[String]
+    var done = false
+    while (!done) {
+      require(j < s.length, s"unterminated array $k")
+      s.charAt(j) match {
+        case ']' => done = true
+        case '"' =>
+          var e = j + 1
+          while (e < s.length && s.charAt(e) != '"') {
+            if (s.charAt(e) == '\\') e += 1
+            e += 1
+          }
+          require(e < s.length, s"unterminated string in array $k")
+          out += graft.webgraph.CookieParse.unescapeJson(s.substring(j + 1, e))
+          j = e + 1
+        case _ => j += 1
+      }
+    }
+    out.result()
   }
 
   private def atomicWrite(target: Path, content: String): Unit = {
@@ -106,7 +124,8 @@ final class SnapshotStore(root: String, runId: String) extends CheckpointStore {
       s""""measure":${s.measure},"seconds":${s.seconds}}"""
 
   private def metadataJson(current: Int, snaps: Seq[Snap]): String =
-    s"""{"format_version":1,"run_id":"$runId","current_snapshot_id":$current,""" +
+    s"""{"format_version":1,"run_id":${graft.core.Json.str(runId)},""" +
+      s""""current_snapshot_id":$current,""" +
       s""""snapshots":[${snaps.map(snapJson).mkString(",")}]}"""
 
   private def parseSnaps(meta: String): Seq[Snap] = {

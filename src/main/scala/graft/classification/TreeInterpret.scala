@@ -145,8 +145,12 @@ object TreeInterpret {
     (probsAcc, bias / nTrees, contrib)
   }
 
-  private final case class InterpOut(prob: Array[Double], bias: Double,
-                                     contrib: Array[Double])
+  // public on purpose: Scala `private` compiles the class package-private,
+  // so Janino's generated encoder code (another package) cannot resolve the
+  // accessors and the UDF-output serializer silently falls back to
+  // interpreter mode ("Expr codegen error" WARN + a slower per-row path)
+  final case class InterpOut(prob: Array[Double], bias: Double,
+                             contrib: Array[Double])
 
   /** Interpret a feature matrix: returns
     * `(visit_id, name, pred, prob, bias, contributions)` where `prob` is

@@ -32,6 +32,15 @@ object JsonScan {
     i
   }
 
+  private def hasBackslash(s: String, from: Int, until: Int): Boolean = {
+    var i = from
+    while (i < until) {
+      if (s.charAt(i) == '\\') return true
+      i += 1
+    }
+    false
+  }
+
   /** End index (exclusive) of the string literal starting at `from`
     * (which must point at the opening quote); -1 if unterminated. */
   private def stringEnd(s: String, from: Int): Int = {
@@ -98,9 +107,10 @@ object JsonScan {
       val keyEnd = stringEnd(json, i)
       if (keyEnd < 0) return null
       // raw-span compare; unescape only when the key span contains '\\'
+      // (probe bounded to the key span — String.indexOf has no end bound
+      // and would rescan to end-of-document on every key iteration)
       val rawLen = keyEnd - 1 - (i + 1)
-      val esc = json.indexOf('\\', i + 1)
-      val hasEsc = esc >= 0 && esc < keyEnd - 1
+      val hasEsc = hasBackslash(json, i + 1, keyEnd - 1)
       val matches =
         if (!hasEsc) rawLen == name.length && json.regionMatches(i + 1, name, 0, rawLen)
         else graft.webgraph.CookieParse.unescapeJson(

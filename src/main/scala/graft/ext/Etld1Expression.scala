@@ -34,13 +34,17 @@ case class Etld1Expression(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val cls = Etld1Expression.getClass.getName.stripSuffix("$") + "$"
+      // fresh local: with a non-nullable child nullSafeCodeGen inlines this
+      // block UNBRACED, so a fixed name collides across sibling etld1
+      // calls in one codegen scope (node+edge domains project two)
+      val r = ctx.freshName("etld1")
       s"""
-         |org.apache.spark.unsafe.types.UTF8String r =
+         |org.apache.spark.unsafe.types.UTF8String $r =
          |  $cls.MODULE$$.eval($c);
-         |if (r == null) {
+         |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = r;
+         |  ${ev.value} = $r;
          |}
        """.stripMargin
     })

@@ -67,12 +67,18 @@ case class VecDotExpression(left: Expression, right: Expression)
       elemFloat(left), elemFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-       |java.lang.Double r = ${VecOps.owner}.MODULE$$.dot(
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh local: with two non-nullable children nullSafeCodeGen inlines
+      // this block UNBRACED, so a fixed name collides across sibling
+      // vec_dot calls in one codegen scope (cosine plans three)
+      val r = ctx.freshName("vecDot")
+      s"""
+       |java.lang.Double $r = ${VecOps.owner}.MODULE$$.dot(
        |  $a, $b, ${elemFloat(left)}, ${elemFloat(right)});
-       |if (r == null) { ${ev.isNull} = true; }
-       |else { ${ev.value} = r.doubleValue(); }
-     """.stripMargin)
+       |if ($r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = $r.doubleValue(); }
+     """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

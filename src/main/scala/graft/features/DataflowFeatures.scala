@@ -65,7 +65,9 @@ object DataflowFeatures {
         .persist()
       changed = next.where(col("chg")).count() > 0
       val nd = next.drop("chg").localCheckpoint(true)
-      depth.unpersist(false)
+      // depth is a checkpoint after the first pass — Dataset.unpersist
+      // would silently no-op on it (graft.core.Checkpoints doc)
+      graft.core.Checkpoints.release(depth)
       next.unpersist(false)
       depth = nd
     }

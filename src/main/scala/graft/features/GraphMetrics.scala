@@ -69,12 +69,21 @@ object GraphMetrics {
         .withColumn("dist", lit(d))
         .localCheckpoint(true)
       more = next.count() > 0
-      if (more) known = known.union(next).localCheckpoint(true)
+      // superseded checkpoints are released NOW — Dataset.unpersist no-ops
+      // on them (graft.core.Checkpoints doc) and waiting on driver GC +
+      // ContextCleaner leaves O(diameter) dead state copies pinned. `next`
+      // is eager, so the old frontier is never read again; guard the
+      // first-step alias (frontier starts as `known` itself).
+      if (frontier ne known) graft.core.Checkpoints.release(frontier)
+      if (more) {
+        val grown = known.union(next).localCheckpoint(true)
+        graft.core.Checkpoints.release(known)
+        known = grown
+      }
       frontier = next
-      // superseded checkpoints (old known/frontier) become unreachable here;
-      // the ContextCleaner reclaims their blocks, and Bench/Verify's
-      // releaseScratch sweeps any stragglers after the query is consumed
     }
+    if (frontier ne known) graft.core.Checkpoints.release(frontier)
+    graft.core.Checkpoints.release(hops) // loop leaf; `known` is independent
     if (more)
       // loud failure beats silent truncation (same policy as
       // Reachability.closure): a diameter beyond maxIter would otherwise

@@ -134,6 +134,27 @@ class AnnSpec extends AnyFunSuite {
     assert(again === approx)
   }
 
+  test("empty corpus returns a SCHEMA-IDENTICAL empty frame (no long-typed " +
+    "fork on the early-return path; unions across shards stay valid)") {
+    import org.apache.spark.sql.DataFrame
+    val strDf = vecs(24, 8).map { case (i, v) => (s"doc$i", v) }
+      .toDF("doc", "embedding")
+    val emptyCorpus = strDf.limit(0)
+    val fns: Seq[(DataFrame, DataFrame) => DataFrame] = Seq(
+      (c, p) => Similarity.ivfKnn(c, p, "doc", "embedding", k = 3,
+        nList = 4, nProbe = 2, iters = 2),
+      (c, p) => Similarity.ivfKnnLattice(c, p, "doc", "embedding", k = 3,
+        nList = 4, nProbe = 2, iters = 2))
+    fns.foreach { f =>
+      val full = f(strDf, strDf)
+      val empty = f(emptyCorpus, strDf)
+      assert(empty.schema.map(x => (x.name, x.dataType)) ===
+        full.schema.map(x => (x.name, x.dataType)))
+      // the union a sharded caller would build must analyze and stay empty
+      assert(empty.count() === 0 && full.union(empty).count() === full.count())
+    }
+  }
+
   test("quantized oracle-tier plane family: recall holds and buckets differ") {
     val probes = df.where(col("vec_id") < 20)
     val exact = Similarity.bruteForceKnn(df, probes, "vec_id", "embedding", k = 5)

@@ -94,6 +94,57 @@ class CheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("a FAILED async commit surfaces loudly and releases the pinned " +
+    "pending snapshot (no retained-block leak on the failure path)") {
+    val root = Files.createTempDirectory("graft_ckpt_fail").toString
+    val inner = new ParquetStore(root, "runFail")
+    // injected failure on the MIDDLE commit (step 4 of 2/4/6): the pending
+    // snapshot is not the current state when awaited, so a leak is visible
+    val failing = new graft.checkpoint.CheckpointStore {
+      override def commit(step: Int, state: org.apache.spark.sql.DataFrame,
+                          metrics: graft.checkpoint.StepMetrics): Unit =
+        if (step == 4) sys.error("injected commit failure")
+        else inner.commit(step, state, metrics)
+      override def latest(spark: org.apache.spark.sql.SparkSession) =
+        inner.latest(spark)
+      override def metricsLog() = inner.metricsLog()
+    }
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val e = intercept[RuntimeException] {
+      PageRank.run(edges, PageRank.Params(tol = 0.0, maxIter = 6,
+          numPartitions = 4),
+        Some(Superstep.Config(4, 6, tol = 0.0, checkpointEvery = 2,
+          store = Some(failing), asyncCheckpoint = true)))
+    }
+    assert(e.getMessage.contains("injected commit failure"),
+      "the background failure must surface, not vanish")
+    // abort path must be block-clean: the failed commit's pinned snapshot,
+    // the in-flight loop states (Superstep finally), and PageRank's cached
+    // edge/vertex tables (its finally) are all released. This also guards
+    // the REAL release mechanism: Dataset.unpersist silently no-ops on
+    // localCheckpoint'd frames, so a regression from Checkpoints.release
+    // back to it shows up here as leaked superstep states.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"abort path leaked persistent blocks: $leaked")
+  }
+
+  test("success path pins ONLY the final state: superseded superstep " +
+    "checkpoints and the edge/vertex caches are released deterministically " +
+    "(not left to driver GC), and releaseLeaves drops the last one") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = PageRank.run(edges, PageRank.Params(tol = 1e-8, maxIter = 12,
+      numPartitions = 4))
+    assert(res.steps > 2, "fixture must actually iterate")
+    res.state.count() // consume
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.size == 1,
+      s"a ${res.steps}-superstep run must pin exactly the final state, " +
+        s"got ${pinned.size}: $pinned")
+    graft.core.Checkpoints.releaseLeaves(res.state)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"releaseLeaves left blocks pinned: $after")
+  }
+
   test("commit is atomic: orphan data without manifest is never resumed") {
     val root = Files.createTempDirectory("graft_ckpt2").toString
     val store = new ParquetStore(root, "runX")

@@ -35,6 +35,30 @@ class ExtAndApproxSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("two sibling etld1 calls over a NON-NULLABLE string codegen in one " +
+    "scope (fresh locals under unbraced nullSafeCodeGen inlining)") {
+    GraftExtensions.register(spark)
+    // concat of non-nullables is non-nullable → unbraced inlining; a fixed
+    // local name would collide across the two calls (codegen fallback off
+    // makes the Janino failure loud instead of silently interpreted)
+    val df = spark.range(3).select(concat(lit("http://s"),
+      col("id").cast("string"), lit(".example.com/p")).as("u1"),
+      concat(lit("http://t"), col("id").cast("string"),
+        lit(".example.org/q")).as("u2"))
+    assert(!df.schema("u1").nullable && !df.schema("u2").nullable)
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = df.selectExpr("etld1(u1) AS d1", "etld1(u2) AS d2").collect()
+      assert(got.length == 3)
+      assert(got.map(_.getString(0)).toSet == Set("example.com"))
+      assert(got.map(_.getString(1)).toSet == Set("example.org"))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("HLL descendant counts equal exact closure on small graphs " +
     "(sparse-mode-exact regime)") {
     val edges = (

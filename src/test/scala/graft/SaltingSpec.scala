@@ -47,6 +47,15 @@ class SaltingSpec extends AnyFunSuite {
     }
   }
 
+  test("an input already carrying the reserved __w column is rejected " +
+    "loudly (not silently mis-aggregated)") {
+    val withW = skewed.withColumn(Salting.weightCol, lit(7L))
+    val e = intercept[IllegalArgumentException] {
+      Salting.saltedCount(withW, "k", salts = 4)
+    }
+    assert(e.getMessage.contains(Salting.weightCol))
+  }
+
   test("splitHotKeys partitions rows exactly at the threshold") {
     val (hot, cold) = Salting.splitHotKeys(skewed, "k", threshold = 100)
     assert(hot.select("k").distinct().collect().map(_.getLong(0)).toSet === Set(0L))

@@ -47,6 +47,23 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(store.metricsLog().map(_.step) === Seq(2, 4))
   }
 
+  test("manifest file lists round-trip paths containing commas " +
+    "(escape-aware strArr, not a split-on-comma)") {
+    // a comma in the table root lands in every data-file path the manifest
+    // records; a comma-split parser would return truncated garbage paths
+    // and break resume exactly when it is needed
+    val root = Files.createTempDirectory("graft_snap,v2").toString
+    assert(root.contains(","))
+    val store = new SnapshotStore(root, "run1")
+    val s = Seq((1L, 0.5), (2L, 0.5)).toDF("id", "rank").repartition(2)
+    store.commit(3, s, StepMetrics(3, 0.1, 2L, 1.0, Seq(1L, 1L)))
+    val Some((step, df, _)) = store.latest(spark)
+    assert(step === 3)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    val log = store.snapshots()
+    assert(log.map(_.step) === Seq(3) && log.head.files > 0)
+  }
+
   test("reads are manifest-driven: orphan parquet files from an " +
     "uncommitted attempt in the data dir are invisible") {
     val root = newRoot()

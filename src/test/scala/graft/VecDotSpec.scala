@@ -57,6 +57,32 @@ class VecDotSpec extends AnyFunSuite {
     assert(got(2).getDouble(0) == 0.0) // empty → 0.0
   }
 
+  test("two sibling vec_dot calls over NON-NULLABLE arrays codegen in one " +
+    "scope (fresh locals — fixed names collide when nullSafeCodeGen " +
+    "inlines unbraced)") {
+    // array() of non-nullable children is non-nullable, so nullSafeCodeGen
+    // emits the result blocks UNBRACED in one generated method; a fixed
+    // Java local name would be declared twice → Janino error → silent
+    // interpreted fallback. fallback=false turns that into a hard failure.
+    val df = spark.range(4)
+      .select(array(col("id").cast("double"), lit(2.0)).as("a"),
+        array(lit(1.0), col("id").cast("double")).as("b"))
+    assert(!df.schema("a").nullable && !df.schema("b").nullable)
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = df.select(
+          call_function("vec_dot", col("a"), col("b")).as("d1"),
+          call_function("vec_dot", col("b"), col("a")).as("d2"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      assert(got.map(_._1).sorted.toSeq == Seq(0.0, 3.0, 6.0, 9.0))
+      assert(got.forall(p => p._1 == p._2)) // dot is symmetric
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("vec_dot plans inside whole-stage codegen") {
     val df = spark.range(4)
       .select(array(col("id").cast("double"), lit(2.0)).as("a"),
