@@ -36,7 +36,16 @@ object PageRank {
       tol: Double = 1e-6,
       maxIter: Int = 100,
       numPartitions: Int = 32,
-      dangling: Boolean = true
+      dangling: Boolean = true,
+      /** Input edges already arrive hash-clustered on `src` with long ids
+        * (a bucketed catalog read — graft.sources.BucketedEdges), so skip
+        * the per-run `repartition(P, src)` AND the long cast: the cast
+        * would re-alias the column and the projected partitioning would no
+        * longer cover the join key, silently re-introducing the exchange.
+        * Correct for any input (EnsureRequirements inserts whatever the
+        * join still needs); the no-shuffle payoff requires buckets ==
+        * numPartitions. */
+      prePartitioned: Boolean = false
   )
 
   /** @param edges DataFrame(src: long, dst: long) — deduplicated digraph.
@@ -52,9 +61,16 @@ object PageRank {
     val spark = edges.sparkSession
     val P = p.numPartitions
 
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(P, col("src"))
-      .persist()
+    val e =
+      if (p.prePartitioned) {
+        val idTypes = Seq("src", "dst").map(c =>
+          edges.schema(c).dataType)
+        require(idTypes.forall(_ == org.apache.spark.sql.types.LongType),
+          s"prePartitioned input must carry long ids, got $idTypes")
+        edges.select(col("src"), col("dst")).persist()
+      } else edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .repartition(P, col("src"))
+        .persist()
 
     // vertex set = src ∪ dst; outdegree via one pass over edges
     val outDeg = e.groupBy(col("src").as("id")).agg(count("*").as("deg"))

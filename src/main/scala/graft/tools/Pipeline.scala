@@ -15,7 +15,7 @@ import graft.model.Page
   *     --pages <parquet dir>  (url, warc_ts, html, text, lang)  \
   *     --out <dir>  [--partitions N] [--tol 1e-6] [--checkpoint <dir>] \
   *     [--run-id <id>] [--store parquet|snapshot] [--expire-keep K] \
-  *     [--async-ckpt]
+  *     [--async-ckpt] [--bucket-edges]
   *
   * Stages (each written as parquet under --out; resumable through
   * --checkpoint + --run-id mid-PageRank):
@@ -74,8 +74,24 @@ object Pipeline {
     vertices.write.mode(SaveMode.Overwrite).parquet(s"$out/vertices")
 
     mem.phase("degrees")
-    val edges = spark.read.parquet(s"$out/edges")
-      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+    // --bucket-edges: ALSO land the id-edge table hash-bucketed by src
+    // (Iceberg bucket(P, src) layout; graft.sources.BucketedEdges) and feed
+    // the algorithms from the catalog read — the per-run
+    // repartition(P, src) shuffle of the full edge table disappears
+    // (PageRank.Params.prePartitioned). Costs one extra bucketed write now;
+    // every later run over the same table (warm starts, re-convergence,
+    // degree scans) starts shuffle-free.
+    val bucketEdges = args.contains("--bucket-edges")
+    val edges =
+      if (bucketEdges) {
+        graft.sources.BucketedEdges.write(
+          spark.read.parquet(s"$out/edges")
+            .select(col("src_id").as("src"), col("dst_id").as("dst")),
+          table = "graft_edges_bucketed", buckets = partitions,
+          path = Some(s"$out/edges_bucketed"))
+        graft.sources.BucketedEdges.read(spark, "graft_edges_bucketed")
+      } else spark.read.parquet(s"$out/edges")
+        .select(col("src_id").as("src"), col("dst_id").as("dst"))
     EdgeBuilder.degrees(spark.read.parquet(s"$out/edges")
         .as[graft.model.Edge])
       .write.mode(SaveMode.Overwrite).parquet(s"$out/degrees")
@@ -97,7 +113,8 @@ object Pipeline {
 
     mem.phase("pagerank")
     val pr = PageRank.run(edges,
-      PageRank.Params(tol = tol, maxIter = 200, numPartitions = partitions),
+      PageRank.Params(tol = tol, maxIter = 200, numPartitions = partitions,
+        prePartitioned = bucketEdges),
       prCfg)
     pr.state.write.mode(SaveMode.Overwrite).parquet(s"$out/pagerank")
     // bound checkpoint disk on long runs: keep only the newest K snapshots
