@@ -40,6 +40,9 @@ object Bench {
     ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
+    // machine-read JSON below is built with the f-interpolator, which
+    // formats via the JVM default locale (comma decimals under de_DE etc.)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // big enough that PageRank supersteps are shuffle-dominated, not

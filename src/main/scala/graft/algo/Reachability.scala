@@ -48,48 +48,61 @@ object Reachability {
     // logical plan chains through every previous superstep, holding O(d²)
     // live plan nodes and paying quadratic re-analysis over a deep closure
     // (same pathology GraphMetrics.distances hit at large diameter).
+    // reflexive=true: frontier ALIASES known (identical seed data) — the
+    // `frontier ne known` release guards exist for exactly this, and a
+    // second eager checkpoint of the same O(V) seed set would be a
+    // redundant materialization + storage copy
     var known = (if (reflexive) seedPairs else seedPairs.limit(0))
       .localCheckpoint(true)
-    var frontier = seedPairs.localCheckpoint(true)
-    var iter = 0
+    var frontier = if (reflexive) known else seedPairs.localCheckpoint(true)
     var frontierSize = 1L
-    while (frontierSize > 0 && iter < maxIter) {
-      val next = frontier
-        .join(e, frontier("v") === e("src"))
-        .select(col("s"), col("dst").as("v"))
-        .distinct()
-        .join(known, Seq("s", "v"), "left_anti")
-        .repartition(P, col("v"))
-        .localCheckpoint(true)
-      frontierSize = next.count()
-      // superseded checkpoints are released NOW (Dataset.unpersist is a
-      // no-op on them — graft.core.Checkpoints doc): `next` is eager, so
-      // nothing reads the old frontier/known again. Deterministic release
-      // beats waiting for driver GC + ContextCleaner — over a deep closure
-      // the stragglers are O(diameter) full state copies.
-      if (frontier ne known) graft.core.Checkpoints.release(frontier)
-      if (frontierSize > 0) {
-        val grown = known.union(next).localCheckpoint(true)
-        graft.core.Checkpoints.release(known)
-        known = grown
+    var completed = false
+    try {
+      var iter = 0
+      while (frontierSize > 0 && iter < maxIter) {
+        val next = frontier
+          .join(e, frontier("v") === e("src"))
+          .select(col("s"), col("dst").as("v"))
+          .distinct()
+          .join(known, Seq("s", "v"), "left_anti")
+          .repartition(P, col("v"))
+          .localCheckpoint(true)
+        frontierSize = next.count()
+        // superseded checkpoints are released NOW (Dataset.unpersist is a
+        // no-op on them — graft.core.Checkpoints doc): `next` is eager, so
+        // nothing reads the old frontier/known again. Deterministic release
+        // beats waiting for driver GC + ContextCleaner — over a deep closure
+        // the stragglers are O(diameter) full state copies.
+        if (frontier ne known) graft.core.Checkpoints.release(frontier)
+        if (frontierSize > 0) {
+          val grown = known.union(next).localCheckpoint(true)
+          graft.core.Checkpoints.release(known)
+          known = grown
+        }
+        frontier = next
+        iter += 1
       }
-      frontier = next
-      iter += 1
-    }
-    if (frontier ne known) graft.core.Checkpoints.release(frontier)
-    if (frontierSize > 0) {
-      // loud failure beats a silently-truncated closure: the DuckDB
-      // recursive-CTE oracle has no depth cap, and downstream counts would
-      // be wrong with no signal
+      if (frontierSize > 0)
+        // loud failure beats a silently-truncated closure: the DuckDB
+        // recursive-CTE oracle has no depth cap, and downstream counts would
+        // be wrong with no signal
+        throw new IllegalStateException(
+          s"transitive closure did not converge in $maxIter supersteps " +
+            s"(frontier still $frontierSize pairs) — raise maxIter")
+      completed = true
+      // reflexive=false: known holds only DERIVED pairs (seeds were never
+      // added), so cycle self-reachability (s,s) is already exactly right
+      known
+    } finally {
       e.unpersist(false)
-      throw new IllegalStateException(
-        s"transitive closure did not converge in $maxIter supersteps " +
-          s"(frontier still $frontierSize pairs) — raise maxIter")
+      // abort path (count() failure, the non-convergence throw): nothing
+      // downstream can read the loop state again — release it now instead
+      // of pinning O(closure) blocks until driver GC
+      if (!completed) {
+        if (frontier ne known) graft.core.Checkpoints.release(frontier)
+        graft.core.Checkpoints.release(known)
+      }
     }
-    e.unpersist(false)
-    // reflexive=false: known holds only DERIVED pairs (seeds were never
-    // added), so cycle self-reachability (s,s) is already exactly right
-    known
   }
 
   /** Per-start reachable-set size (descendants count; s itself excluded). */

@@ -118,12 +118,17 @@ object Superstep {
     // (unwrapped) — at the next checkpoint or at loop end, never silently.
     def awaitPending(current: DataFrame): Unit = pending.foreach {
       case (f, df) =>
-        pending = None // cleared on BOTH paths; a failed commit must not
+        pending = None // cleared on ALL paths; a failed commit must not
         try f.get()    // leave the snapshot's blocks pinned for the session
         catch {
           case e: java.util.concurrent.ExecutionException =>
             if (df ne current) graft.core.Checkpoints.release(df)
             throw e.getCause
+          case e: Throwable => // interrupt/cancellation: pending is already
+            // cleared, so the finally sweep can no longer see this snapshot
+            // — release it here or its blocks pin for the session
+            if (df ne current) graft.core.Checkpoints.release(df)
+            throw e
         }
         if (df ne current) graft.core.Checkpoints.release(df)
     }

@@ -22,9 +22,15 @@ object Similarity {
     * codegen'd `vec_dot` (graft.ext.VecExpressions): the HOF formulation
     * (`aggregate(zip_with(…))`) materializes the zipped array per PAIR and
     * evaluates interpreted — the wrong constant factor for pairs × dims
-    * work. Requires GraftExtensions on the session (every DataFrame-level
-    * entry point below registers idempotently). */
-  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+    * work. Registers GraftExtensions on the ACTIVE session (idempotent, a
+    * map insert) so the helper stays self-contained on plain sessions —
+    * call_function resolves at analysis, which needs the function present
+    * on whatever session analyzes the enclosing DataFrame. */
+  def dot(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.ext.GraftExtensions.register)
+    call_function("vec_dot", a, b)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -87,6 +87,9 @@ object Scaling {
   }
 
   def main(args: Array[String]): Unit = {
+    // machine-read JSON below is built with the f-interpolator, which
+    // formats via the JVM default locale (comma decimals under de_DE etc.)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nPages = sys.env.get("SPARK_GRAFT_SCALE_PAGES")
       .map(_.toLong).getOrElse(ProtocolPages)
     val steps = sys.env.get("SPARK_GRAFT_SCALE_STEPS")

@@ -89,7 +89,12 @@ final class StageMemoryTracker extends SparkListener {
 
   /** One JSON object per phase, in first-seen order. */
   def toJson: String = {
-    def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+    // Locale.ROOT-pinned: the f-interpolator formats with the JVM default
+    // locale, which renders a COMMA decimal separator under e.g. de_DE —
+    // malformed JSON in metrics.json / the pipeline stdout line
+    def mb(b: Long): String =
+      String.format(java.util.Locale.ROOT, "%.1f",
+        Double.box(b / 1048576.0))
     import scala.jdk.CollectionConverters._
     order.asScala.map { name =>
       val p = phases.get(name)

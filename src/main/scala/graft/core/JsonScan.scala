@@ -97,15 +97,43 @@ object JsonScan {
 
   /** Value of top-level field `name` of a JSON object (path `$.name`). */
   def getField(json: String, name: String): String = {
-    if (json == null || name == null) return null
+    val span = fieldSpan(json, name)
+    if (span < 0) null
+    else render(json, (span >>> 32).toInt, span.toInt)
+  }
+
+  /** Like [[getField]] but ONLY when the field's value is itself a JSON
+    * container (object/array): returns the raw span; null for any scalar.
+    * This is dict-navigation semantics — `json.loads(s)["a"]["b"]` and
+    * `get_json_object(s, "$.a.b")` both fail (→ empty/null) when `a` holds
+    * a STRING, even one whose CONTENT parses as JSON. Chaining plain
+    * [[getField]] would unescape such a string and happily keep scanning —
+    * double-encoded payloads would decode where the reference (and the
+    * builtin) return nothing. Use this as the non-terminal step of a
+    * chained path. */
+  def getFieldContainer(json: String, name: String): String = {
+    val span = fieldSpan(json, name)
+    if (span < 0) null
+    else {
+      val from = (span >>> 32).toInt
+      val c = json.charAt(from)
+      if (c == '{' || c == '[') json.substring(from, span.toInt) else null
+    }
+  }
+
+  /** Span of field `name`'s value packed as `(from << 32) | end`
+    * (end exclusive); -1 if missing/malformed — index-only so the hot
+    * getField path allocates exactly one output string. */
+  private def fieldSpan(json: String, name: String): Long = {
+    if (json == null || name == null) return -1L
     var i = skipWs(json, 0)
-    if (i >= json.length || json.charAt(i) != '{') return null
+    if (i >= json.length || json.charAt(i) != '{') return -1L
     i = skipWs(json, i + 1)
-    if (i < json.length && json.charAt(i) == '}') return null
+    if (i < json.length && json.charAt(i) == '}') return -1L
     while (i < json.length) {
-      if (json.charAt(i) != '"') return null
+      if (json.charAt(i) != '"') return -1L
       val keyEnd = stringEnd(json, i)
-      if (keyEnd < 0) return null
+      if (keyEnd < 0) return -1L
       // raw-span compare; unescape only when the key span contains '\\'
       // (probe bounded to the key span — String.indexOf has no end bound
       // and would rescan to end-of-document on every key iteration)
@@ -116,20 +144,19 @@ object JsonScan {
         else graft.webgraph.CookieParse.unescapeJson(
           json.substring(i + 1, keyEnd - 1)) == name
       i = skipWs(json, keyEnd)
-      if (i >= json.length || json.charAt(i) != ':') return null
+      if (i >= json.length || json.charAt(i) != ':') return -1L
       i = skipWs(json, i + 1)
       val vEnd = valueEnd(json, i)
-      if (vEnd < 0) return null
-      if (matches) return render(json, i, vEnd)
+      if (vEnd < 0) return -1L
+      if (matches) return (i.toLong << 32) | vEnd.toLong
       i = skipWs(json, vEnd)
-      if (i >= json.length) return null
+      if (i >= json.length) return -1L
       json.charAt(i) match {
         case ',' => i = skipWs(json, i + 1)
-        case '}' => return null
-        case _   => return null
+        case _   => return -1L
       }
     }
-    null
+    -1L
   }
 
   /** idx-th element (0-based) of a top-level JSON array (path `$[idx]`). */

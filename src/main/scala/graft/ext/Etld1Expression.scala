@@ -129,6 +129,13 @@ object GraftExtensions {
         require(children.size == 2, "json_get takes (json, field)")
         JsonGetExpression(children.head, children(1)): Expression
       }),
+    (new FunctionIdentifier("json_get_obj"),
+      new ExpressionInfo(classOf[JsonGetObjExpression].getName,
+        "json_get_obj"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "json_get_obj takes (json, field)")
+        JsonGetObjExpression(children.head, children(1)): Expression
+      }),
     (new FunctionIdentifier("json_array_get"),
       new ExpressionInfo(classOf[JsonArrayGetExpression].getName,
         "json_array_get"),

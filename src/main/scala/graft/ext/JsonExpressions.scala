@@ -31,6 +31,12 @@ object JsonExpressions {
     if (r == null) null else UTF8String.fromString(r)
   }
 
+  def fieldContainer(json: UTF8String, name: UTF8String): UTF8String = {
+    if (json == null || name == null) return null
+    val r = JsonScan.getFieldContainer(json.toString, name.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
   private[ext] val owner: String =
     JsonExpressions.getClass.getName.stripSuffix("$") + "$"
 }
@@ -57,6 +63,37 @@ case class JsonGetExpression(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (j, n) => s"""
        |${ev.value} = ${JsonExpressions.owner}.MODULE$$.field($j, $n);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `json_get_obj(json, field)` — field read that yields the raw span ONLY
+  * when the value is a JSON container (object/array); null for any scalar,
+  * INCLUDING a string whose content happens to parse as JSON. This is the
+  * non-terminal step of a chained path: `json_get(json_get_obj(j, 'a'),
+  * 'b')` reproduces `get_json_object(j, "$.a.b")` / Python
+  * `json.loads(j)['a']['b']` dict-navigation exactly — plain chained
+  * `json_get` would unescape a double-encoded string and keep scanning
+  * where those return null/raise. */
+case class JsonGetObjExpression(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_get_obj"
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def inputTypes = Seq(StringType, StringType)
+
+  override def nullSafeEval(json: Any, name: Any): Any =
+    JsonExpressions.fieldContainer(json.asInstanceOf[UTF8String],
+      name.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (j, n) => s"""
+       |${ev.value} = ${JsonExpressions.owner}.MODULE$$.fieldContainer($j, $n);
        |${ev.isNull} = (${ev.value} == null);
      """.stripMargin)
 

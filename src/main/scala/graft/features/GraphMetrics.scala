@@ -56,42 +56,50 @@ object GraphMetrics {
         lit(0).as("dist"))
       .localCheckpoint(true)
     var frontier = known
-    var d = 0
-    var more = true
-    while (more && d < maxIter) {
-      d += 1
-      val next = frontier
-        .join(hops, Seq("visit_id", "v"))
-        .select(col("visit_id"), col("s"), col("w").as("v"))
-        .distinct()
-        .join(known.select(col("visit_id"), col("s"), col("v")),
-          Seq("visit_id", "s", "v"), "left_anti")
-        .withColumn("dist", lit(d))
-        .localCheckpoint(true)
-      more = next.count() > 0
-      // superseded checkpoints are released NOW — Dataset.unpersist no-ops
-      // on them (graft.core.Checkpoints doc) and waiting on driver GC +
-      // ContextCleaner leaves O(diameter) dead state copies pinned. `next`
-      // is eager, so the old frontier is never read again; guard the
-      // first-step alias (frontier starts as `known` itself).
-      if (frontier ne known) graft.core.Checkpoints.release(frontier)
-      if (more) {
-        val grown = known.union(next).localCheckpoint(true)
-        graft.core.Checkpoints.release(known)
-        known = grown
+    var completed = false
+    try {
+      var d = 0
+      var more = true
+      while (more && d < maxIter) {
+        d += 1
+        val next = frontier
+          .join(hops, Seq("visit_id", "v"))
+          .select(col("visit_id"), col("s"), col("w").as("v"))
+          .distinct()
+          .join(known.select(col("visit_id"), col("s"), col("v")),
+            Seq("visit_id", "s", "v"), "left_anti")
+          .withColumn("dist", lit(d))
+          .localCheckpoint(true)
+        more = next.count() > 0
+        // superseded checkpoints are released NOW — Dataset.unpersist no-ops
+        // on them (graft.core.Checkpoints doc) and waiting on driver GC +
+        // ContextCleaner leaves O(diameter) dead state copies pinned. `next`
+        // is eager, so the old frontier is never read again; guard the
+        // first-step alias (frontier starts as `known` itself).
+        if (frontier ne known) graft.core.Checkpoints.release(frontier)
+        if (more) {
+          val grown = known.union(next).localCheckpoint(true)
+          graft.core.Checkpoints.release(known)
+          known = grown
+        }
+        frontier = next
       }
-      frontier = next
+      if (more)
+        // loud failure beats silent truncation (same policy as
+        // Reachability.closure): a diameter beyond maxIter would otherwise
+        // yield quietly-wrong eccentricity/closeness/reachability counts
+        throw new IllegalStateException(
+          s"all-pairs expansion did not converge in $maxIter supersteps " +
+            "(graph diameter exceeds the bound) — raise maxIter")
+      completed = true
+      known
+    } finally {
+      if (frontier ne known) graft.core.Checkpoints.release(frontier)
+      graft.core.Checkpoints.release(hops) // loop leaf; `known` independent
+      // abort path (count() failure, non-convergence throw): `known` — the
+      // largest object in the loop — can never be read again; release it
+      if (!completed) graft.core.Checkpoints.release(known)
     }
-    if (frontier ne known) graft.core.Checkpoints.release(frontier)
-    graft.core.Checkpoints.release(hops) // loop leaf; `known` is independent
-    if (more)
-      // loud failure beats silent truncation (same policy as
-      // Reachability.closure): a diameter beyond maxIter would otherwise
-      // yield quietly-wrong eccentricity/closeness/reachability counts
-      throw new IllegalStateException(
-        s"all-pairs expansion did not converge in $maxIter supersteps " +
-          "(graph diameter exceeds the bound) — raise maxIter")
-    known
   }
 
   /** has_ad_keyword (features/utils.py:18-43): any keyword match on
@@ -157,9 +165,15 @@ object GraphMetrics {
       col("src"), col("dst"))
     val sym = simple.union(simple.select(col("visit_id"),
       col("dst").as("src"), col("src").as("dst")))
+    // distances() already returns an eagerly-stored localCheckpoint leaf
+    // (MEMORY_AND_DISK blocks) — re-reads by the slices below hit the block
+    // manager directly. A persist() on top would ADD an InMemoryRelation
+    // COPY of the full fused all-pairs table, and its Dataset.unpersist in
+    // release() would drop only that copy while the checkpoint blocks
+    // stayed pinned (the silent-no-op class Checkpoints documents).
     val bothDist = distances(
       tagged(simple, "d").unionByName(tagged(sym, "u")),
-      undirected = false).persist()
+      undirected = false)
     def distSlice(g: String) = bothDist.where(col("visit_id.g") === g)
       .select(col("visit_id.v").as("visit_id"), col("s"), col("v"),
         col("dist"))
@@ -233,9 +247,16 @@ object GraphMetrics {
       .na.fill(0L, Seq("ancestors", "descendants"))
       .na.fill(0.0, Seq("closeness_centrality"))
 
+    // release() drops only the persist() CACHES: callers (structure,
+    // FeatureExtraction) call it right after BUILDING their lazy output
+    // plans, which still read bothDist's checkpoint blocks when consumed —
+    // releasing those here would fail every later read
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). The checkpoint leaf is scratch
+    // by the repo policy: the consuming entry points (Bench/Verify/Demo)
+    // sweep it after full consumption; library embedders release it via
+    // Checkpoints.releaseLeaves on the consumed output.
     CoreMetrics(simple, simpleAll, verts, degrees, dist, nVerts, nEdges, metrics,
-      () => Seq(simpleAll, simple, verts, degrees, bothDist)
-        .foreach(_.unpersist(false)))
+      () => Seq(simpleAll, simple, verts, degrees).foreach(_.unpersist(false)))
   }
 
   /** Full structural feature table, one row per (visit_id, name) for every

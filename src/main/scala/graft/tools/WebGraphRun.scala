@@ -52,6 +52,9 @@ object WebGraphRun {
     args.contains(s"--$name")
 
   def main(args: Array[String]): Unit = {
+    // machine-read JSON below is built with the f-interpolator, which
+    // formats via the JVM default locale (comma decimals under de_DE etc.)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val out = arg(args, "out").getOrElse(sys.error("--out <dir> is required"))
     val partitions = arg(args, "partitions").map(_.toInt).getOrElse(32)
 

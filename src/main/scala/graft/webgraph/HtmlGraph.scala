@@ -22,11 +22,15 @@ object HtmlGraph {
 
   def build(js: Dataset[JsCall]): (DataFrame, DataFrame) = {
     graft.ext.GraftExtensions.register(js.sparkSession)
-    // $['0'].openwpm as two chained native scans (json_get returns the raw
-    // JSON substring for an object-valued field, so it composes)
+    // $['0'].openwpm as two chained native scans. The non-terminal step is
+    // json_get_obj (container-only): the reference's dict navigation
+    // (html_edges.py:22 `json.loads(attributes)["0"]["openwpm"]`, :66
+    // `.get("0").get("openwpm")`) raises→empty when "0" holds a STRING —
+    // plain chained json_get would unescape a double-encoded payload and
+    // keep extracting, manufacturing a tag where the reference yields none.
     def openwpmTag(attributes: org.apache.spark.sql.Column) =
       call_function("json_get",
-        call_function("json_get", attributes, lit("0")), lit("openwpm"))
+        call_function("json_get_obj", attributes, lit("0")), lit("openwpm"))
     // one NODE PER createElement ROW (the reference names by dataframe row
     // index, html_edges.py:116): the content hash alone would collapse
     // same-tick same-script same-arguments creations into one node, so a

@@ -164,6 +164,40 @@ class JsonScanSpec extends AnyFunSuite {
       == """[1,{"b":2}]""")
   }
 
+  test("json_get_obj: container-only navigation matches dict semantics " +
+    "on double-encoded payloads (builtin + reference parity)") {
+    // genuine object → raw span, chains like the plain read
+    val nested = """{"0":{"openwpm":123}}"""
+    assert(JsonScan.getFieldContainer(nested, "0") == """{"openwpm":123}""")
+    assert(JsonScan.getField(
+      JsonScan.getFieldContainer(nested, "0"), "openwpm") == "123")
+    // DOUBLE-ENCODED payload: "0" holds a STRING whose content parses as
+    // JSON. Python dict navigation raises (html_edges.py:22 → caught →
+    // empty) and get_json_object("$['0'].openwpm") returns null — but a
+    // chained plain json_get would unescape and extract "7". The
+    // container-only step must yield null.
+    val doubled = """{"0":"{\"openwpm\":7}"}"""
+    assert(JsonScan.getField(
+      JsonScan.getField(doubled, "0"), "openwpm") == "7") // the trap
+    assert(JsonScan.getFieldContainer(doubled, "0") == null) // the fix
+    import spark.implicits._
+    val builtin = Seq(doubled).toDF("j")
+      .select(expr("get_json_object(j, \"$['0'].openwpm\")"))
+      .collect()(0).isNullAt(0)
+    assert(builtin, "builtin must also yield null here")
+    val viaExpr = Seq(doubled, nested).toDF("j")
+      .select(call_function("json_get",
+        call_function("json_get_obj", col("j"), lit("0")),
+        lit("openwpm")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(viaExpr == Seq(null, "123"))
+    // scalars and arrays: arrays ARE containers; numbers/bools/null aren't
+    assert(JsonScan.getFieldContainer("""{"a":[1,2]}""", "a") == "[1,2]")
+    assert(JsonScan.getFieldContainer("""{"a":12}""", "a") == null)
+    assert(JsonScan.getFieldContainer("""{"a":null}""", "a") == null)
+    assert(JsonScan.getFieldContainer(null, "a") == null)
+  }
+
   test("scanner never throws on arbitrary garbage (web-dirt fuzz)") {
     val junkGen = for {
       n <- Gen.choose(0, 40)
