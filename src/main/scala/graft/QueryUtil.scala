@@ -60,14 +60,25 @@ object QueryUtil {
     * a plain parquet scan: re-scannable by both join branches, column-pruned
     * and filter-pushed by Catalyst like any other source. */
   def scratchTable(df: DataFrame, name: String): DataFrame = {
-    // keyed (pid, session identity, name): two sessions in one JVM running
-    // the same query must not race overwrite-vs-read on a shared path. The
-    // pid root is removed at JVM exit so repeated sweeps on a soak host
-    // don't accumulate /tmp trees (pids recycle slowly).
-    val dir = s"$scratchRoot/s${System.identityHashCode(df.sparkSession)}/$name"
+    // keyed (pid, per-session UUID, name): two sessions in one JVM running
+    // the same query must not race overwrite-vs-read on a shared path —
+    // the assigned UUID is collision-free where identityHashCode (32-bit,
+    // non-unique across live sessions) is not. The pid root is removed at
+    // JVM exit so repeated sweeps on a soak host don't accumulate /tmp
+    // trees (pids recycle slowly).
+    val dir = s"$scratchRoot/s${sessionId(df.sparkSession)}/$name"
     df.write.mode("overwrite").parquet(dir)
     df.sparkSession.read.parquet(dir)
   }
+
+  // weak keys: entries die with their session (SparkSession has no equals
+  // override, so WeakHashMap hashing is identity — exactly the keying we
+  // want, minus the 32-bit collision risk of using the hash AS the id)
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionId(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s,
+      _ => java.util.UUID.randomUUID().toString)
 
   private lazy val scratchRoot: String = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_scratch_" +

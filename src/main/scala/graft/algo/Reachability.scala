@@ -95,13 +95,14 @@ object Reachability {
       known
     } finally {
       e.unpersist(false)
+      // the last frontier (the final empty `next` checkpoint on success) is
+      // never read again on ANY path — release it unconditionally, like
+      // GraphMetrics.distances does; only `known` is returned to the caller
+      if (frontier ne known) graft.core.Checkpoints.release(frontier)
       // abort path (count() failure, the non-convergence throw): nothing
-      // downstream can read the loop state again — release it now instead
+      // downstream can read `known` again either — release it now instead
       // of pinning O(closure) blocks until driver GC
-      if (!completed) {
-        if (frontier ne known) graft.core.Checkpoints.release(frontier)
-        graft.core.Checkpoints.release(known)
-      }
+      if (!completed) graft.core.Checkpoints.release(known)
     }
   }
 

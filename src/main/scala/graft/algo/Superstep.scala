@@ -49,8 +49,9 @@ object Superstep {
         * order (single writer thread), each is atomic, and a crash before
         * a pending commit lands resumes from the previous committed
         * snapshot. Costs one extra pinned state copy while a write is in
-        * flight. A failed background commit surfaces loudly at the next
-        * checkpoint (or loop end). */
+        * flight (released by a per-step poll as soon as the write lands).
+        * A failed background commit surfaces loudly at the next superstep,
+        * checkpoint, or loop end — whichever comes first. */
       asyncCheckpoint: Boolean = false
   )
 
@@ -114,24 +115,37 @@ object Superstep {
     // localCheckpoint'd RDD cannot recompute a dropped block).
     var ckptPool: java.util.concurrent.ExecutorService = null
     var pending: Option[(java.util.concurrent.Future[_], DataFrame)] = None
-    // Await the in-flight commit; a failed background write surfaces here
-    // (unwrapped) — at the next checkpoint or at loop end, never silently.
-    def awaitPending(current: DataFrame): Unit = pending.foreach {
-      case (f, df) =>
-        pending = None // cleared on ALL paths; a failed commit must not
-        try f.get()    // leave the snapshot's blocks pinned for the session
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            if (df ne current) graft.core.Checkpoints.release(df)
-            throw e.getCause
-          case e: Throwable => // interrupt/cancellation: pending is already
-            // cleared, so the finally sweep can no longer see this snapshot
-            // — release it here or its blocks pin for the session
-            if (df ne current) graft.core.Checkpoints.release(df)
-            throw e
-        }
-        if (df ne current) graft.core.Checkpoints.release(df)
+    // Complete a finished/awaited commit; a failed background write
+    // surfaces here (unwrapped), never silently.
+    def finishPending(f: java.util.concurrent.Future[_], df: DataFrame,
+                      current: DataFrame): Unit = {
+      pending = None // cleared on ALL paths; a failed commit must not
+      try f.get()    // leave the snapshot's blocks pinned for the session
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          if (df ne current) graft.core.Checkpoints.release(df)
+          throw e.getCause
+        case e: Throwable => // interrupt/cancellation: pending is already
+          // cleared, so the finally sweep can no longer see this snapshot
+          // — release it here or its blocks pin for the session
+          if (df ne current) graft.core.Checkpoints.release(df)
+          throw e
+      }
+      if (df ne current) graft.core.Checkpoints.release(df)
     }
+    // BLOCK on the in-flight commit (checkpoint boundaries / loop end).
+    def awaitPending(current: DataFrame): Unit =
+      pending.foreach { case (f, df) => finishPending(f, df, current) }
+    // Non-blocking per-step poll: release the pending snapshot's blocks as
+    // soon as its write actually lands (not checkpointEvery steps later —
+    // the snapshot is a full extra state copy, GBs at corpus scale, and
+    // pinning it across the whole checkpoint window shrinks execution
+    // memory in exactly the regime async mode targets) and surface a
+    // failed commit within one step instead of running up to
+    // checkpointEvery further supersteps after durability was lost.
+    def pollPending(current: DataFrame): Unit =
+      pending.foreach { case (f, df) =>
+        if (f.isDone) finishPending(f, df, current) }
     // loop-carried checkpoints, visible to the abort-path finally: on an
     // exception nothing downstream can read them again, so they must be
     // released (Dataset.unpersist would silently no-op — Checkpoints doc)
@@ -152,6 +166,7 @@ object Superstep {
       var step = startStep
       var m = Double.MaxValue
       while (step < cfg.maxIter && m > cfg.tol) {
+        pollPending(state) // free a landed snapshot / surface its failure
         val t0 = System.nanoTime()
         val prev = state
         prevState = prev

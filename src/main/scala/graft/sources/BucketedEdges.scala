@@ -56,13 +56,42 @@ object BucketedEdges {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  private val AutoScanKey =
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+  // first read() on a session saves the prior flag value so
+  // restoreAutoBucketedScan can undo the session-wide pin (keyed by the
+  // session's RuntimeConfig identity, like Superstep's AQE refcount)
+  private val savedAutoScan = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.RuntimeConfig, Option[String]]()
+
   /** Catalog read carrying the bucket partitioning; eagerly pins
     * autoBucketedScan off (see object scaladoc) so a subsequent
-    * persist-then-join keeps `HashPartitioning(src, buckets)`. */
+    * persist-then-join keeps `HashPartitioning(src, buckets)`.
+    *
+    * SESSION-WIDE side effect: with the flag off, Spark also stops
+    * widening scans of OTHER bucketed catalog tables that don't need the
+    * partitioning (they run at bucket-count parallelism). The flag must
+    * stay off until every plan built from this read has been PHYSICALLY
+    * planned (it is read at planning, not construction), so read() cannot
+    * scope it — once all such plans are materialized, call
+    * [[restoreAutoBucketedScan]] to put the session back. */
   def read(spark: SparkSession, table: String): DataFrame = {
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    savedAutoScan.computeIfAbsent(spark.conf,
+      c => c.getOption(AutoScanKey))
+    spark.conf.set(AutoScanKey, "false")
     spark.table(table)
   }
+
+  /** Restore the session's autoBucketedScan setting to its value before
+    * the first [[read]] on this session. Only call once every plan built
+    * from bucketed reads has been fully materialized — a still-lazy plan
+    * physically planned after the restore silently loses the bucket
+    * partitioning (the exact trap read() pins the flag against). */
+  def restoreAutoBucketedScan(spark: SparkSession): Unit =
+    Option(savedAutoScan.remove(spark.conf)).foreach {
+      case Some(v) => spark.conf.set(AutoScanKey, v)
+      case None    => spark.conf.unset(AutoScanKey)
+    }
 
   /** No-shuffle out-degree over a bucketed read — the plan-shape probe
     * BucketedEdgesSpec asserts on (zero Exchange nodes). */

@@ -143,6 +143,10 @@ object Pipeline {
     val (tri, triTotal) = TriangleCount.perVertexAndTotal(edges, partitions)
     tri.write.mode(SaveMode.Overwrite).parquet(s"$out/triangles")
     mem.finish()
+    // every plan over the bucketed read is materialized by now — undo the
+    // session-wide autoBucketedScan pin read() had to take
+    if (bucketEdges)
+      graft.sources.BucketedEdges.restoreAutoBucketedScan(spark)
 
     val metrics = Seq(
       ("pagerank", pr.steps, pr.metrics.map(_.seconds).sum),

@@ -155,22 +155,35 @@ object WebGraphRun {
           val itp = graft.classification.TreeInterpret.interpret(
             model, featCols, joined.drop("label"), classIdx = 0)
           itp.write.mode(SaveMode.Overwrite).parquet(s"$out/interpretation")
-          val entries = spark.read.parquet(s"$out/interpretation")
+          // streamed, not collect()'d: each row carries a |featCols|-entry
+          // contribution map, so a large crawl's full interpretation table
+          // in one driver array (plus one giant concatenated string) OOMs
+          // exactly where the rest of the pipeline streams. toLocalIterator
+          // holds one partition at a time; the JSON is appended row-by-row.
+          val rows = spark.read.parquet(s"$out/interpretation")
             .select(col("name"), col("visit_id"), col("contributions"))
-            .collect().map { r =>
+            .toLocalIterator()
+          val w = java.nio.file.Files.newBufferedWriter(
+            java.nio.file.Paths.get(s"$out/interpretation_0.json"))
+          try {
+            w.write("{")
+            var first = true
+            while (rows.hasNext) {
+              val r = rows.next()
               val name = r.getString(0)
               val vid = r.getLong(1)
               val contrib = r.getMap[String, Double](2)
               val pairs = featCols.map { f =>
                 f"""[${contrib.getOrElse(f, 0.0)}%.2f, ${graft.core.Json.str(f)}]"""
               }.mkString("[", ", ", "]")
-              graft.core.Json.str(s"${name}_$vid") + ": {" +
+              if (!first) w.write(",\n")
+              first = false
+              w.write(graft.core.Json.str(s"${name}_$vid") + ": {" +
                 s""""name": ${graft.core.Json.str(name)}, "vid": "$vid", """ +
-                s""""contributions": $pairs}"""
+                s""""contributions": $pairs}""")
             }
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$out/interpretation_0.json"),
-            entries.mkString("{", ",\n", "}"))
+            w.write("}")
+          } finally w.close()
         }
       case None =>
         System.err.println("--classify requires --filterlist (labels)")

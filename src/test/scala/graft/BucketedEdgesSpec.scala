@@ -98,4 +98,29 @@ class BucketedEdgesSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("long ids"))
   }
+
+  test("restoreAutoBucketedScan undoes read()'s session-wide flag pin " +
+    "(back to the pre-first-read value, repeated reads included)") {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val before = spark.conf.getOption(key)
+    writeFixture()
+    try {
+      spark.conf.set(key, "true") // a host session's explicit setting
+      BucketedEdges.read(spark, table).count()
+      assert(spark.conf.get(key) === "false", "read() must pin the flag off")
+      BucketedEdges.read(spark, table).count() // second read: same save slot
+      BucketedEdges.restoreAutoBucketedScan(spark)
+      assert(spark.conf.get(key) === "true",
+        "restore must return the PRE-FIRST-READ value, not 'false'")
+      // idempotent: a second restore with nothing saved is a no-op
+      BucketedEdges.restoreAutoBucketedScan(spark)
+      assert(spark.conf.get(key) === "true")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
