@@ -94,6 +94,44 @@ class CheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("a LANDED async commit's snapshot is released by the per-step poll, " +
+    "not held until the next checkpoint boundary") {
+    // checkpointEvery=3, maxIter=7 → commits at steps 3 and 6. The step-3
+    // snapshot's write completes during the step-4 iteration (next() awaits
+    // the latch); the step-5 iteration's poll must release it — so by the
+    // step-6 iteration's next(), the only pinned loop block is prev.
+    // Pre-fix behavior (release only inside awaitPending at the NEXT
+    // checkpoint) leaves the step-3 snapshot pinned here too.
+    val landed = new java.util.concurrent.CountDownLatch(1)
+    val store = new graft.checkpoint.CheckpointStore {
+      override def commit(step: Int, state: org.apache.spark.sql.DataFrame,
+                          metrics: graft.checkpoint.StepMetrics): Unit =
+        if (step == 3) landed.countDown()
+      override def latest(spark: org.apache.spark.sql.SparkSession) = None
+      override def metricsLog() = Seq.empty
+    }
+    val base = spark.sparkContext.getPersistentRDDs.keySet
+    var extraAtStep5 = -1
+    val res = Superstep.run(spark,
+      (0L until 8L).map(i => (i, 0.0)).toDF("id", "v"),
+      Superstep.Config(2, 7, tol = 0.0, checkpointEvery = 3,
+        store = Some(store), fixedStep = true, asyncCheckpoint = true)) {
+      (prev, step) =>
+        if (step == 3) assert(landed.await(30,
+          java.util.concurrent.TimeUnit.SECONDS), "step-3 commit never ran")
+        if (step == 5)
+          extraAtStep5 =
+            (spark.sparkContext.getPersistentRDDs.keySet -- base).size
+        prev.withColumn("v", col("v") + lit(1.0))
+    } { _ => Double.MaxValue }
+    assert(extraAtStep5 === 1,
+      "two steps after its write landed, the async snapshot must be " +
+        s"released — only prev may remain pinned, saw $extraAtStep5 blocks")
+    graft.core.Checkpoints.releaseLeaves(res.state)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- base
+    assert(leaked.isEmpty, s"run left pinned blocks: $leaked")
+  }
+
   test("a FAILED async commit surfaces loudly and releases the pinned " +
     "pending snapshot (no retained-block leak on the failure path)") {
     val root = Files.createTempDirectory("graft_ckpt_fail").toString
