@@ -94,6 +94,30 @@ r$k AS MATERIALIZED (SELECT v.id, (1.0 - $d)/nn.n + $d * (COALESCE(c.s, 0.0) + d
     sb.toString
   }
 
+  /** Fixed-iteration PERSONALIZED PageRank (networkx semantics: teleport
+    * AND dangling mass land on the seed distribution) — mirrors
+    * [[PageRank.run]] with `reset`; seeds are `id % 37 = 0`. */
+  private def pprSql(iters: Int, d: Double): String = {
+    val sb = new StringBuilder
+    val mat = bedgesSql.replaceFirst("AS", "AS MATERIALIZED")
+    val matV = bvertsSql.replaceFirst("AS", "AS MATERIALIZED")
+    sb ++= s"WITH $mat,\n$matV,\n"
+    sb ++= "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bverts),\n"
+    sb ++= "outdeg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg FROM bedges GROUP BY src),\n"
+    sb ++= "pw AS MATERIALIZED (SELECT id, CASE WHEN id % 37 = 0 THEN 1.0 ELSE 0.0 END AS w FROM bverts),\n"
+    sb ++= "pt AS MATERIALIZED (SELECT SUM(w) AS t FROM pw),\n"
+    sb ++= "pvec AS MATERIALIZED (SELECT pw.id, pw.w / pt.t AS p FROM pw CROSS JOIN pt),\n"
+    sb ++= "r0 AS MATERIALIZED (SELECT v.id, 1.0/nn.n AS pr FROM bverts v CROSS JOIN nn)"
+    for (k <- 1 to iters) {
+      sb ++= s""",
+dm$k AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS m FROM r${k - 1} r LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL),
+c$k AS MATERIALIZED (SELECT e.dst AS id, SUM(r.pr / o.deg) AS s FROM bedges e JOIN r${k - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.id GROUP BY e.dst),
+r$k AS MATERIALIZED (SELECT v.id, (1.0 - $d) * pv.p + $d * (COALESCE(c.s, 0.0) + dm$k.m * pv.p) AS pr FROM bverts v JOIN pvec pv ON v.id = pv.id CROSS JOIN dm$k LEFT JOIN c$k c ON v.id = c.id)"""
+    }
+    sb ++= s"\nSELECT id, ROUND(pr, 8) AS pr FROM r$iters"
+    sb.toString
+  }
+
   /** Fixed-iteration synchronous label propagation, mirroring
     * [[LabelPropagation.run]] exactly: votes from symmetrized neighbors,
     * argmax by (count desc, label asc), isolated vertices keep their label. */
@@ -227,6 +251,23 @@ l$k AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label FROM l${k 
         Some(Superstep.Config(P, 20, tol = 0.0, fixedStep = true)))
       res.state.select(col("id"), round(col("rank"), 8).as("pr"))
     }, Some(pagerankSql(20, 0.85))),
+
+    // Personalized PageRank: teleport + dangling mass biased to the seed
+    // set (id % 37 = 0), 20 fixed supersteps — same unrolled-CTE mirror as
+    // g6 with the uniform 1/n teleport replaced by the seed vector.
+    ("g11_ppr20", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val e = bedges(dir)
+      val seeds = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .where(col("id") % 37 === 0)
+        .select(col("id"), lit(1.0).as("p"))
+      val res = PageRank.run(e,
+        PageRank.Params(tol = 0.0, maxIter = 20, numPartitions = P),
+        Some(Superstep.Config(P, 20, tol = 0.0, fixedStep = true)),
+        reset = Some(seeds))
+      res.state.select(col("id"), round(col("rank"), 8).as("pr"))
+    }, Some(pprSql(20, 0.85))),
 
     // North-rule label propagation: 10 synchronous supersteps, deterministic
     // (count desc, label asc) argmax, vs generated fixed-iteration SQL.

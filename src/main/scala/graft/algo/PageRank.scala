@@ -1,6 +1,6 @@
 package graft.algo
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed PageRank as typed DataFrame joins/aggregations (north rule:
@@ -54,10 +54,18 @@ object PageRank {
     *        converged ranks reaches tol in far fewer supersteps than the
     *        uniform cold start. New vertices get 1/N; mass renormalizes to
     *        1 so the convergence contract is unchanged.
+    * @param reset optional personalization DataFrame(id, p): teleport
+    *        lands on these vertices proportionally to `p` (normalized
+    *        internally; vertices absent from `reset` teleport-weight 0),
+    *        and dangling mass redistributes by the same vector — networkx
+    *        `pagerank(personalization=…)` semantics. None = uniform
+    *        teleport (classic PageRank; plan unchanged from the
+    *        non-personalized path).
     * @return DataFrame(id: long, rank: double), ranks summing to ~1. */
   def run(edges: DataFrame, p: Params = Params(),
           cfg0: Option[Superstep.Config] = None,
-          warmStart: Option[DataFrame] = None): Superstep.Result = {
+          warmStart: Option[DataFrame] = None,
+          reset: Option[DataFrame] = None): Superstep.Result = {
     val spark = edges.sparkSession
     val P = p.numPartitions
 
@@ -74,11 +82,21 @@ object PageRank {
 
     // vertex set = src ∪ dst; outdegree via one pass over edges
     val outDeg = e.groupBy(col("src").as("id")).agg(count("*").as("deg"))
-    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val vertsBase = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .distinct()
       .join(outDeg, Seq("id"), "left")
       .na.fill(0L, Seq("deg"))
-      .repartition(P, col("id"))
+    // personalization: attach raw teleport weights before the persist so the
+    // cached vertex table is self-contained (broadcast-joinable small dim)
+    val verts = (reset match {
+      case None => vertsBase
+      case Some(r) =>
+        val rr = r.select(col("id").cast("long").as("id"),
+            col("p").cast("double").as("__p0"))
+          .dropDuplicates("id") // duplicate reset ids would double weight
+        vertsBase.join(rr, Seq("id"), "left").na.fill(0.0, Seq("__p0"))
+    }).repartition(P, col("id"))
       .persist()
     val n = verts.count() // also materializes the cached vertex table
     if (n == 0) {
@@ -91,10 +109,20 @@ object PageRank {
     }
     val d = p.damping
 
+    // normalized teleport column (rides the superstep state like `deg`);
+    // one scalar action off the cached verts, only on the personalized path
+    val pCol: Option[Column] = reset.map { _ =>
+      val t = verts.agg(sum(col("__p0"))).collect()(0).getDouble(0)
+      require(t > 0.0,
+        "personalization must put positive mass on at least one graph vertex")
+      (col("__p0") / t).as("p")
+    }
+    def withP(cols: Column*): Seq[Column] = cols ++ pCol.toSeq
+
     val init = warmStart match {
-      case None => verts.select(
+      case None => verts.select(withP(
         col("id"), lit(1.0 / n).as("rank"), col("deg"),
-        lit(Double.MaxValue).as("delta"))
+        lit(Double.MaxValue).as("delta")): _*)
       case Some(w) =>
         // no persist: `joined` is one cheap join off the cached verts —
         // it runs once for the mass total and once when Superstep
@@ -105,8 +133,8 @@ object PageRank {
             Seq("id"), "left")
           .na.fill(1.0 / n, Seq("r0"))
         val total = joined.agg(sum(col("r0"))).collect()(0).getDouble(0)
-        joined.select(col("id"), (col("r0") / total).as("rank"),
-          col("deg"), lit(Double.MaxValue).as("delta"))
+        joined.select(withP(col("id"), (col("r0") / total).as("rank"),
+          col("deg"), lit(Double.MaxValue).as("delta")): _*)
     }
 
     val cfg = cfg0.getOrElse(Superstep.Config(P, p.maxIter, p.tol))
@@ -130,18 +158,27 @@ object PageRank {
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("msum"))
 
-      state.select(col("id"), col("rank").as("prev"), col("deg"))
+      // teleport + dangling landing: uniform 1/n classically, the
+      // personalization vector when present (networkx semantics)
+      val rankExpr =
+        if (reset.isEmpty)
+          lit((1.0 - d) / n) +
+            lit(d) * (coalesce(col("msum"), lit(0.0)) + col("dm") / n)
+        else
+          lit(1.0 - d) * col("p") +
+            lit(d) * (coalesce(col("msum"), lit(0.0)) + col("dm") * col("p"))
+      val carry = if (reset.isEmpty) Seq.empty else Seq(col("p"))
+      state.select(Seq(col("id"), col("rank").as("prev"), col("deg")) ++
+          carry: _*)
         .join(contrib, col("id") === contrib("dst"), "left")
         .crossJoin(broadcast(danglingMass))
-        .select(
-          col("id"),
-          (lit((1.0 - d) / n) +
-            lit(d) * (coalesce(col("msum"), lit(0.0)) + col("dm") / n))
-            .as("rank"),
-          col("deg"),
-          col("prev"))
+        .select(Seq(col("id"), rankExpr.as("rank"), col("deg"),
+          col("prev")) ++ carry: _*)
         .withColumn("delta", abs(col("rank") - col("prev")))
         .drop("prev")
+        // canonical order: init and every step emit the same schema
+        .select(Seq(col("id"), col("rank"), col("deg"), col("delta")) ++
+          carry: _*)
     } { state =>
       state.agg(coalesce(max(col("delta")), lit(0.0))).collect()(0).getDouble(0)
     } finally { e.unpersist(false); verts.unpersist(false) }

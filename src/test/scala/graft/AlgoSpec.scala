@@ -50,6 +50,73 @@ class AlgoSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-6) // teleport-conserving
   }
 
+  // plain-Scala personalized reference: teleport AND dangling mass land on
+  // the normalized seed vector (networkx pagerank(personalization=…))
+  private def refPpr(es: Seq[(Long, Long)], seeds: Set[Long], d: Double,
+                     iters: Int): Map[Long, Double] = {
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val p = nodes.map(v => v -> (if (seeds(v)) 1.0 / seeds.size else 0.0)).toMap
+    val out = es.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    (0 until iters).foreach { _ =>
+      val dangling = nodes.filter(v => !out.contains(v)).map(rank).sum
+      val contrib = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      out.foreach { case (u, vs) =>
+        val c = rank(u) / vs.size
+        vs.foreach(v => contrib(v) += c)
+      }
+      rank = nodes.map(v => v -> ((1 - d) * p(v) + d * (contrib(v) + dangling * p(v)))).toMap
+    }
+    rank
+  }
+
+  test("personalized PageRank matches plain-Scala reference; uniform reset ≡ classic") {
+    val es: Seq[(Long, Long)] = Seq(
+      1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      0L -> 5L, 5L -> 6L, 6L -> 7L,
+      3L -> 4L, 4L -> 3L,
+      8L -> 9L) // a side component the seeds can't reach
+    val seeds = Set(0L, 5L)
+    val seedDf = seeds.toSeq.map(_ -> 1.0).toDF("id", "p")
+    val got = PageRank.run(edgeDf(es),
+      PageRank.Params(tol = 1e-12, maxIter = 200, numPartitions = 4),
+      reset = Some(seedDf))
+      .state.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPpr(es, seeds, 0.85, 300)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"vertex $k: $v vs ${want(k)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // mass conserved
+    // unreachable-from-seeds, teleport-weight-0 vertices converge to 0
+    assert(got(8L) < 1e-12 && got(9L) < 1e-12)
+
+    // uniform personalization over ALL vertices == classic PageRank
+    val all = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val uni = PageRank.run(edgeDf(es),
+      PageRank.Params(tol = 1e-12, maxIter = 200, numPartitions = 4),
+      reset = Some(all.map(_ -> 1.0).toDF("id", "p")))
+      .state.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val classic = PageRank.run(edgeDf(es),
+      PageRank.Params(tol = 1e-12, maxIter = 200, numPartitions = 4))
+      .state.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // (1-d)*(1/n) vs (1-d)/n can differ in the last ulp per step — compare
+    // at fixpoint tolerance, not bitwise
+    uni.foreach { case (k, v) =>
+      assert(math.abs(v - classic(k)) < 1e-9, s"uniform≠classic at $k")
+    }
+  }
+
+  test("personalized PageRank requires positive seed mass on the graph") {
+    val es: Seq[(Long, Long)] = Seq(0L -> 1L, 1L -> 0L)
+    val offGraph = Seq(99L -> 1.0).toDF("id", "p") // no overlap with vertices
+    intercept[IllegalArgumentException] {
+      PageRank.run(edgeDf(es), PageRank.Params(maxIter = 5, numPartitions = 4),
+        reset = Some(offGraph))
+    }
+  }
+
   test("PageRank converges and reports steps") {
     val es = (0L until 20L).map(i => i -> ((i + 1) % 20)) // ring: uniform ranks
     val res = PageRank.run(edgeDf(es), PageRank.Params(tol = 1e-8, numPartitions = 4))
