@@ -137,6 +137,49 @@ l$k AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label FROM l${k 
     sb.toString
   }
 
+  /** Fixed-iteration h-index coreness (the exact dataflow of
+    * [[graft.algo.Coreness.run]]) unrolled. The update is INTEGER and
+    * reaches its fixpoint well inside `iters`, so the engine's
+    * converge-early loop and this exactly-`iters`-rounds mirror agree
+    * bit-for-bit (extra rounds past the fixpoint are identities). */
+  private def kcoreSql(iters: Int): String = {
+    val sb = new StringBuilder
+    val mat = relEdgesSql.replaceFirst("AS", "AS MATERIALIZED")
+    sb ++= s"WITH $mat,\n"
+    sb ++= "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges)),\n"
+    sb ++= "c0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS core FROM sym GROUP BY src)"
+    for (k <- 1 to iters) {
+      sb ++= s""",
+nb$k AS (SELECT s.dst AS id, c.core AS cv FROM sym s JOIN c${k - 1} c ON s.src = c.id),
+c$k AS MATERIALIZED (SELECT id, MAX(LEAST(rn, cv)) AS core FROM (SELECT id, cv, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cv DESC) AS rn FROM nb$k) GROUP BY id)"""
+    }
+    sb ++= s"\nSELECT id, CAST(core AS BIGINT) AS core FROM c$iters"
+    sb.toString
+  }
+
+  /** Fixed-iteration HITS (the exact dataflow of [[graft.algo.Hits.run]]:
+    * authorities from hubs, L1-normalize, hubs from authorities,
+    * L1-normalize) unrolled; 8dp rounding absorbs double reduce-order
+    * noise, same policy as the PageRank mirrors. */
+  private def hitsSql(iters: Int): String = {
+    val sb = new StringBuilder
+    val mat = relEdgesSql.replaceFirst("AS", "AS MATERIALIZED")
+    sb ++= s"WITH $mat,\n"
+    sb ++= "verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),\n"
+    sb ++= "h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM verts)"
+    for (k <- 1 to iters) {
+      sb ++= s""",
+ar$k AS MATERIALIZED (SELECT e.dst AS id, SUM(h.h) AS s FROM edges e JOIN h${k - 1} h ON e.src = h.id GROUP BY e.dst),
+at$k AS MATERIALIZED (SELECT SUM(s) AS t FROM ar$k),
+a$k AS MATERIALIZED (SELECT v.id, COALESCE(r.s, 0.0) / (CASE WHEN t.t > 0 THEN t.t ELSE 1.0 END) AS a FROM verts v LEFT JOIN ar$k r ON v.id = r.id CROSS JOIN at$k t),
+hr$k AS MATERIALIZED (SELECT e.src AS id, SUM(a.a) AS s FROM edges e JOIN a$k a ON e.dst = a.id GROUP BY e.src),
+ht$k AS MATERIALIZED (SELECT SUM(s) AS t FROM hr$k),
+h$k AS MATERIALIZED (SELECT v.id, COALESCE(r.s, 0.0) / (CASE WHEN t.t > 0 THEN t.t ELSE 1.0 END) AS h FROM verts v LEFT JOIN hr$k r ON v.id = r.id CROSS JOIN ht$k t)"""
+    }
+    sb ++= s"\nSELECT v.id, ROUND(h.h, 8) AS hub, ROUND(a.a, 8) AS auth\nFROM verts v JOIN h$iters h ON v.id = h.id JOIN a$iters a ON v.id = a.id"
+    sb.toString
+  }
+
   val reg: Seq[Entry] = Seq(
 
     // G1 (SURVEY §2.8): in/out degree on the dense edge table.
@@ -268,6 +311,42 @@ l$k AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label FROM l${k 
         reset = Some(seeds))
       res.state.select(col("id"), round(col("rank"), 8).as("pr"))
     }, Some(pprSql(20, 0.85))),
+
+    // Strongly connected components (directed): forward/backward min-label
+    // refinement vs the closure-self-join definition — v ∈ SCC(s) iff s
+    // reaches v AND v reaches s; scc = min member id. The blocked graph's
+    // dense random blocks carry plural non-trivial SCCs plus DAG tendrils.
+    ("g12_scc", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      graft.algo.Scc.run(bedges(dir), numPartitions = P)
+    }, Some(
+      s"""WITH RECURSIVE $bedgesSql,
+         |$bvertsSql,
+         |reach(s, v) AS (
+         |  SELECT id, id FROM bverts
+         |  UNION
+         |  SELECT r.s, e.dst FROM reach r JOIN bedges e ON e.src = r.v)
+         |SELECT r1.s AS id, MIN(r1.v) AS scc
+         |FROM reach r1 JOIN reach r2 ON r2.s = r1.v AND r2.v = r1.s
+         |GROUP BY r1.s""".stripMargin)),
+
+    // k-core decomposition (coreness): iterated h-index to fixpoint vs the
+    // same integer recurrence unrolled 30 rounds (identical either way —
+    // rounds past the fixpoint are identities; Coreness scaladoc).
+    ("g13_kcore", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      graft.algo.Coreness.run(relEdges(dir), numPartitions = P, maxIter = 30)
+        .select(col("id"), col("core").cast("long").as("core"))
+    }, Some(kcoreSql(30))),
+
+    // HITS hubs & authorities: 20 fixed L1-normalized power-iteration steps
+    // vs the unrolled mirror; 8dp rounding (double reduce-order noise).
+    ("g14_hits", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      graft.algo.Hits.run(relEdges(dir), iters = 20, numPartitions = P)
+        .select(col("id"), round(col("hub"), 8).as("hub"),
+          round(col("auth"), 8).as("auth"))
+    }, Some(hitsSql(20))),
 
     // North-rule label propagation: 10 synchronous supersteps, deterministic
     // (count desc, label asc) argmax, vs generated fixed-iteration SQL.

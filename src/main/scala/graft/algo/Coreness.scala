@@ -1,0 +1,88 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition (coreness per vertex) of the undirected simple
+  * graph — the standard link-graph density peel (a vertex's coreness is the
+  * largest k such that it survives repeatedly deleting all vertices of
+  * degree < k). Extends the north-rule algorithm family; the reference has
+  * no density operator.
+  *
+  * Algorithm: iterated neighborhood h-index (Lü, Zhou, Zhang & Stanley,
+  * "The H-index of a network node", Nature Communications 2016):
+  *
+  *   c₀(v) = deg(v);   cₜ₊₁(v) = H({cₜ(u) : u ∈ N(v)})
+  *
+  * where H is the h-index (the largest h such that at least h neighbor
+  * values are ≥ h). The sequence is integer, monotonically non-increasing,
+  * and converges exactly to coreness. Unlike the classic sequential peel,
+  * every step is a pure per-vertex aggregate over the UNCHANGED edge table
+  * — the superstep shape this engine already pins for PageRank/CC (no
+  * shrinking-graph bookkeeping, no global ordering).
+  *
+  * H is computed as max over neighbors of min(rank, value) with values
+  * sorted descending — order-independent for tied values, so ANY engine
+  * computing the same formula agrees bit-for-bit (integers throughout);
+  * that is what makes the DuckDB oracle mirror exact (QueriesGraph
+  * `g13_kcore`). Scale note: the rank is a per-destination window (one
+  * shuffle per step, same key as the aggregate); at hub-skew scale the
+  * identical H can be computed from a count-histogram aggregate instead —
+  * the window form is kept because it is the formula the oracle unrolls.
+  *
+  * Fixpoint/cap equivalence: if the sequence fixes at step t ≤ maxIter,
+  * all later steps are identities, so "run to fixpoint capped at K" and
+  * "run exactly K rounds" produce the SAME table — the registered oracle
+  * unrolls exactly K rounds while this loop stops early on convergence.
+  */
+object Coreness {
+
+  /** @param edges DataFrame(src: long, dst: long) — symmetrized internally;
+    *              self-loops dropped (simple-graph semantics).
+    * @return DataFrame(id: long, core: int) */
+  def run(edges: DataFrame, numPartitions: Int = 32,
+          maxIter: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    val P = numPartitions
+
+    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .union(edges.select(col("dst").cast("long").as("src"),
+                          col("src").cast("long").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+      .repartition(P, col("src"))
+      .persist()
+
+    val init = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("int").as("core"))
+      .repartition(P, col("id"))
+      .withColumn("changed", lit(1L))
+
+    val cfg = Superstep.Config(P, maxIter, tol = 0.0)
+    val res = try Superstep.run(spark, init, cfg) { (state, _) =>
+      val nb = sym.join(state.select(col("id"), col("core").as("cv")),
+        sym("src") === col("id"))
+        .select(col("dst"), col("cv"))
+      val h = nb
+        .withColumn("rn",
+          // rank order among TIED cv values is immaterial: the h-index
+          // max(min(rn, cv)) is invariant under permuting equal values
+          row_number().over(Window.partitionBy(col("dst"))
+            .orderBy(col("cv").desc)))
+        .groupBy(col("dst"))
+        .agg(max(least(col("rn"), col("cv"))).cast("int").as("hcore"))
+      // every vertex has ≥1 neighbor (vertices are edge-derived), so the
+      // inner join is total
+      state.select(col("id"), col("core").as("old"))
+        .join(h, col("id") === h("dst"))
+        .select(col("id"), col("hcore").as("core"),
+          when(col("hcore") =!= col("old"), 1L).otherwise(0L).as("changed"))
+    } { state =>
+      state.agg(coalesce(sum(col("changed")), lit(0L))).collect()(0)
+        .getLong(0).toDouble
+    } finally sym.unpersist(false)
+
+    res.state.select("id", "core")
+  }
+}

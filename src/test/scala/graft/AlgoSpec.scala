@@ -247,4 +247,142 @@ class AlgoSpec extends AnyFunSuite {
       .state.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2(3L) == 3 && got2(8L) == -1)
   }
+
+  // ---- plain-Scala reference SCC: Tarjan-free brute closure (micro only) --
+  private def refScc(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = es.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def reach(s: Long): Set[Long] = {
+      var seen = Set(s); var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty)) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    val r = nodes.map(v => v -> reach(v)).toMap
+    nodes.map(v => v -> r(v).filter(u => r(u).contains(v)).min).toMap
+  }
+
+  test("SCC: bow-tie (cycle + IN/OUT tendrils + second cycle) exact min-id") {
+    // 2-cycle {1,2}, 3-cycle {10,11,12}, DAG tendrils in/out, isolated edge
+    val es: Seq[(Long, Long)] = Seq(
+      1L -> 2L, 2L -> 1L,                       // SCC {1,2}
+      10L -> 11L, 11L -> 12L, 12L -> 10L,       // SCC {10,11,12}
+      0L -> 1L, 2L -> 10L, 12L -> 20L,          // IN → core → OUT
+      20L -> 21L, 30L -> 31L)                   // pure DAG tail + isolated
+    val got = Scc.run(edgeDf(es), numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refScc(es))
+    // spot semantics: singletons are their own SCC
+    assert(got(0L) == 0L && got(20L) == 20L && got(21L) == 21L)
+    assert(got(1L) == 1L && got(2L) == 1L && got(11L) == 10L)
+  }
+
+  test("SCC on seeded random digraph matches brute-force closure") {
+    val rnd = new scala.util.Random(42)
+    val es = (0 until 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = Scc.run(edgeDf(es), numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refScc(es))
+  }
+
+  test("SCC: pure DAG chain resolves in few rounds (all singletons)") {
+    val chain = edgeDf((0L until 30L).map(i => i -> (i + 1)))
+    val got = Scc.run(chain, numPartitions = 4, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 30L).map(v => v -> v).toMap)
+  }
+
+  // ---- plain-Scala reference coreness: classic sequential peel ----
+  private def refCore(es: Seq[(Long, Long)]): Map[Long, Int] = {
+    val sym = es.flatMap(e => Seq(e, e.swap)).filter(e => e._1 != e._2).distinct
+    var adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val core = scala.collection.mutable.Map[Long, Int]()
+    var k = 0
+    while (adj.nonEmpty) {
+      val peel = adj.filter(_._2.size <= k).keySet
+      if (peel.isEmpty) k += 1
+      else {
+        peel.foreach(v => core(v) = k)
+        adj = (adj -- peel).view.mapValues(_ -- peel).toMap
+      }
+    }
+    core.toMap
+  }
+
+  test("coreness: K5 + pendant + triangle matches sequential peel") {
+    val k5 = for (i <- 0L until 5L; j <- 0L until 5L if i < j) yield i -> j
+    val es = k5 ++ Seq(0L -> 9L,                  // pendant off the K5: core 1
+      20L -> 21L, 21L -> 22L, 22L -> 20L)         // triangle: core 2
+    val got = Coreness.run(edgeDf(es), numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === refCore(es))
+    assert(got(1L) == 4 && got(9L) == 1 && got(20L) == 2)
+  }
+
+  test("coreness on seeded random graph matches sequential peel") {
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 400).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = Coreness.run(edgeDf(es), numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === refCore(es))
+  }
+
+  // ---- plain-Scala reference HITS: L1-normalized power iteration ----
+  private def refHits(es: Seq[(Long, Long)], iters: Int): Map[Long, (Double, Double)] = {
+    val e = es.filter(p => p._1 != p._2).distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var h = nodes.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    (1 to iters).foreach { _ =>
+      val ar = nodes.map(v => v -> e.filter(_._2 == v).map(p => h(p._1)).sum).toMap
+      val at = ar.values.sum
+      a = ar.view.mapValues(x => if (at > 0) x / at else x).toMap
+      val hr = nodes.map(v => v -> e.filter(_._1 == v).map(p => a(p._2)).sum).toMap
+      val ht = hr.values.sum
+      h = hr.view.mapValues(x => if (ht > 0) x / ht else x).toMap
+    }
+    nodes.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  test("HITS: star + chain matches plain-Scala power iteration to 1e-9") {
+    val es: Seq[(Long, Long)] = Seq(
+      1L -> 0L, 2L -> 0L, 3L -> 0L,   // 0 is the authority; 1-3 hubs
+      0L -> 4L, 4L -> 5L)             // chain out
+    val got = Hits.run(edgeDf(es), iters = 20, numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = refHits(es, 20)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (hv, av)) =>
+      assert(math.abs(hv - want(k)._1) < 1e-9, s"hub $k")
+      assert(math.abs(av - want(k)._2) < 1e-9, s"auth $k")
+    }
+    // structural facts: 1,2,3 are the dominant hubs; 0 the dominant authority
+    assert(got(1L)._1 == got(2L)._1 && got(2L)._1 == got(3L)._1)
+    assert(got(0L)._2 > got(4L)._2 && got(0L)._2 > got(5L)._2)
+    // L1-normalized each half-step
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("HITS on seeded random digraph matches reference; no leaked blocks") {
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 250).map(_ => (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = Hits.run(edgeDf(es), iters = 15, numPartitions = 4)
+    val got = res.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = refHits(es, 15)
+    got.foreach { case (k, (hv, av)) =>
+      assert(math.abs(hv - want(k)._1) < 1e-9)
+      assert(math.abs(av - want(k)._2) < 1e-9)
+    }
+    graft.core.Checkpoints.release(res)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"Hits leaked persistent RDDs: ${(after -- before).mkString(",")}")
+  }
 }
