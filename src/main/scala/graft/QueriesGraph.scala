@@ -437,6 +437,7 @@ h$k AS MATERIALIZED (SELECT v.id, COALESCE(r.s, 0.0) / (CASE WHEN t.t > 0 THEN t
       graft.algo.HyperBall.run(bedges(dir), numPartitions = P)
         .select(col("id"), col("reach_approx"),
           col("sum_dist_approx").cast("long").as("sum_dist"),
+          round(col("harmonic_approx"), 8).as("harmonic"),
           col("ecc_approx"),
           round(col("closeness_approx"), 8).as("closeness"))
     }, Some(
@@ -450,9 +451,12 @@ h$k AS MATERIALIZED (SELECT v.id, COALESCE(r.s, 0.0) / (CASE WHEN t.t > 0 THEN t
          |    JOIN bedges e ON e.src = w.v WHERE w.d < 60),
          |dmin AS MATERIALIZED (SELECT s, v, MIN(d) AS dist FROM walk GROUP BY s, v),
          |anc AS MATERIALIZED (SELECT v AS id, COUNT(*) - 1 AS reach,
-         |    SUM(dist) AS sumd, MAX(dist) AS ecc FROM dmin GROUP BY v)
+         |    SUM(dist) AS sumd,
+         |    SUM(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END) AS harm,
+         |    MAX(dist) AS ecc FROM dmin GROUP BY v)
          |SELECT id, CAST(reach AS BIGINT) AS reach_approx,
          |  CAST(sumd AS BIGINT) AS sum_dist,
+         |  ROUND(harm, 8) AS harmonic,
          |  CAST(ecc AS BIGINT) AS ecc_approx,
          |  ROUND(CASE WHEN sumd > 0 AND nv.n > 1
          |    THEN (CAST(reach AS DOUBLE) / sumd) * (CAST(reach AS DOUBLE) / (nv.n - 1))

@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   * (GraphMetrics.structure). The per-step estimate increment is the count
   * of nodes at distance exactly t, giving:
   *   sum_d(v)  = Σ_t t · (N_t(v) − N_{t−1}(v))   (Σ of incoming distances)
+  *   harm(v)   = Σ_t (N_t(v) − N_{t−1}(v)) / t   (harmonic centrality —
+  *               the metric HyperBall was introduced for; networkx
+  *               harmonic_centrality semantics: Σ 1/d(u,v) over u≠v)
   *   ecc(v)    = last t where the ball grew       (incoming eccentricity)
   *   closeness = WF-scaled ((r−1)/Σd)·((r−1)/(n−1)), r = final estimate.
   *
@@ -49,6 +52,7 @@ object HyperBall {
       .agg(expr(s"hll_sketch_agg(id, $lgK)").as("sk"))
       .withColumn("est", expr("hll_sketch_estimate(sk)"))
       .withColumn("sumd", lit(0.0))
+      .withColumn("harm", lit(0.0))
       .withColumn("ecc", lit(0L))
       .withColumn("changed", lit(1L))
       .repartition(P, col("id"))
@@ -64,17 +68,20 @@ object HyperBall {
         .groupBy(col("dst"))
         .agg(expr("hll_union_agg(psk)").as("merged"))
       state.select(col("id"), col("sk").as("old_sk"), col("est").as("old_est"),
-          col("sumd"), col("ecc"))
+          col("sumd"), col("harm"), col("ecc"))
         .join(fromPred, col("id") === fromPred("dst"), "left")
         .select(col("id"),
           when(col("merged").isNotNull, expr("hll_union(old_sk, merged)"))
             .otherwise(col("old_sk")).as("sk"),
-          col("old_sk"), col("old_est"), col("sumd"), col("ecc"))
+          col("old_sk"), col("old_est"), col("sumd"), col("harm"), col("ecc"))
         .withColumn("est", expr("hll_sketch_estimate(sk)"))
         .withColumn("grew", col("est") > col("old_est"))
         .withColumn("sumd",
           col("sumd") + when(col("grew"),
             (col("est") - col("old_est")) * t).otherwise(0.0))
+        .withColumn("harm",
+          col("harm") + when(col("grew"),
+            (col("est") - col("old_est")) / t).otherwise(0.0))
         .withColumn("ecc", when(col("grew"), lit(t.toLong)).otherwise(col("ecc")))
         // loop continuation gates on REGISTER BYTES (monotone unions,
         // deterministic serialization → true fixpoint), not the estimate:
@@ -92,6 +99,7 @@ object HyperBall {
     res.state.select(col("id"),
       (col("est") - 1).cast("long").as("reach_approx"),
       col("sumd").as("sum_dist_approx"),
+      col("harm").as("harmonic_approx"),
       col("ecc").as("ecc_approx"),
       when(col("sumd") > 0 && lit(n) > 1,
         ((col("est") - 1) / col("sumd")) * ((col("est") - 1) / (n - 1).toDouble))

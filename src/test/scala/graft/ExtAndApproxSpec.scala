@@ -93,6 +93,15 @@ class ExtAndApproxSpec extends AnyFunSuite {
     ancestors.foreach { case (id, a) =>
       assert(hb(id).getAs[Long]("reach_approx") === a, s"reach $id")
     }
+    // harmonic (nx harmonic_centrality, incoming distances):
+    // h(1)=1/d(5,1)=1; h(2)=1/d(1,2)+1/d(5,2)=1.5;
+    // h(3)=1/1+1/1+1/2=2.5; h(4)=1/1+1/2+1/2+1/3=7/3; h(5)=0
+    val harmonic = Map(1L -> 1.0, 2L -> 1.5, 3L -> 2.5, 4L -> 7.0 / 3.0,
+      5L -> 0.0)
+    harmonic.foreach { case (id, h) =>
+      assert(math.abs(hb(id).getAs[Double]("harmonic_approx") - h) < 1e-9,
+        s"harmonic $id")
+    }
     // undirected eccentricity: symmetrize, compare to the nx goldens
     val sym = edges.union(edges.select(col("dst"), col("src")))
     val hbu = graft.algo.HyperBall.run(sym, numPartitions = 4)
