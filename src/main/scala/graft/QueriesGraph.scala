@@ -180,6 +180,102 @@ h$k AS MATERIALIZED (SELECT v.id, COALESCE(r.s, 0.0) / (CASE WHEN t.t > 0 THEN t
     sb.toString
   }
 
+  /** Fixed-round synchronous k-truss peel (the exact dataflow of
+    * [[graft.algo.KTruss.run]]) unrolled: each round recounts per-edge
+    * support over the surviving set via the oriented wedge join and drops
+    * every edge below k-2. Integer support + shrink-only edge set ⇒ rounds
+    * past the fixpoint are identities, so the engine's converge-early loop
+    * and this exactly-`rounds` mirror agree bit-for-bit (the g13 argument). */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    val mat = tedgesSql.replaceFirst("AS", "AS MATERIALIZED")
+    sb ++= s"WITH $mat,\n"
+    sb ++= "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM tedges),\n"
+    sb ++= "s0 AS MATERIALIZED (SELECT a, b, CAST(0 AS BIGINT) AS sup FROM und)"
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+tr$r AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM s${r - 1} e1 JOIN s${r - 1} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN s${r - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+sp$r AS MATERIALIZED (SELECT a, b, COUNT(*) AS sup FROM (
+  SELECT u AS a, v AS b FROM tr$r UNION ALL SELECT u AS a, w AS b FROM tr$r
+  UNION ALL SELECT v AS a, w AS b FROM tr$r) GROUP BY a, b),
+s$r AS MATERIALIZED (SELECT s.a, s.b, COALESCE(p.sup, 0) AS sup
+  FROM s${r - 1} s LEFT JOIN sp$r p ON p.a = s.a AND p.b = s.b
+  WHERE COALESCE(p.sup, 0) >= ${k - 2})"""
+    }
+    sb ++= s"\nSELECT a, b, CAST(sup AS BIGINT) AS support FROM s$rounds"
+    sb.toString
+  }
+
+  /** Fixed-length deterministic hash-draw walks (the exact dataflow of
+    * [[graft.algo.RandomWalks.run]]) unrolled: step k's frontier joins the
+    * edge table and every walker takes the (h, dst)-lexicographic minimum,
+    * h being the shared md5-derived 32-bit draw key (conv/'0x' parity —
+    * the d4/e2/e3 integer recipe, so both engines replay identical walks). */
+  private def walksSql(length: Int): String = {
+    val sb = new StringBuilder
+    val mat = bedgesSql.replaceFirst("AS", "AS MATERIALIZED")
+    sb ++= s"WITH $mat,\n$bvertsSql,\n"
+    sb ++= "p0 AS MATERIALIZED (SELECT id AS walker, 0 AS step, id AS node FROM bverts WHERE id % 5 = 0)"
+    for (k <- 1 to length) {
+      sb ++= s""",
+c$k AS (SELECT p.walker, e.dst,
+  CAST(('0x' || substring(md5(CAST(p.walker AS VARCHAR) || '_' || CAST($k AS VARCHAR) || '_' || CAST(e.dst AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM p${k - 1} p JOIN bedges e ON e.src = p.node WHERE p.step = ${k - 1}),
+p$k AS MATERIALIZED (
+  SELECT * FROM p${k - 1}
+  UNION ALL
+  SELECT walker, $k AS step, dst AS node FROM (
+    SELECT walker, dst, ROW_NUMBER() OVER (PARTITION BY walker ORDER BY h, dst) AS rn
+    FROM c$k) WHERE rn = 1)"""
+    }
+    sb ++= s"\nSELECT walker, step, node FROM p$length"
+    sb.toString
+  }
+
+  /** Betweenness mirror: dmin via recursive CTE (the g9 walk), σ (shortest-
+    * path counts, BIGINT) via `levels` unrolled per-level joins against
+    * dmin, then the DIRECT pair formula bc(v) = Σ_{s,t} σ(s,v)·σ(v,t)/σ(s,t)
+    * over shortest decompositions (sv.d + vt.d = st.d) — algebraically what
+    * Brandes' recursion accumulates. σ must exist from ALL vertices (middle
+    * segments start anywhere); only the SOURCE side is restricted to the
+    * id%3 pivot set, mirroring [[graft.algo.Betweenness.run]]'s `sources`.
+    * 6dp rounding: Brandes associates the float ops differently from the
+    * direct formula — bc magnitudes ~10⁴ with ~1e-10 association noise make
+    * 8dp rounding-edge flips likely (~10⁻¹) and 6dp safe (~10⁻³). */
+  private def betweennessSql(levels: Int): String = {
+    val sb = new StringBuilder
+    val mat = bedgesSql.replaceFirst("AS", "AS MATERIALIZED")
+    sb ++= s"WITH RECURSIVE $mat,\n$bvertsSql,\n"
+    sb ++= """walk(s, v, d) AS (
+  SELECT id, id, 0 FROM bverts
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN bedges e ON e.src = w.v WHERE w.d < """
+    sb ++= s"$levels),\n"
+    sb ++= "dmin AS MATERIALIZED (SELECT s, v, MIN(d) AS dist FROM walk GROUP BY s, v),\n"
+    sb ++= "sg0 AS MATERIALIZED (SELECT id AS s, id AS v, 0 AS d, CAST(1 AS BIGINT) AS sigma FROM bverts)"
+    for (k <- 1 to levels) {
+      sb ++= s""",
+sg$k AS MATERIALIZED (SELECT p.s, e.dst AS v, $k AS d, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+  FROM sg${k - 1} p JOIN bedges e ON e.src = p.v
+  JOIN dmin m ON m.s = p.s AND m.v = e.dst AND m.dist = $k
+  GROUP BY p.s, e.dst)"""
+    }
+    sb ++= ",\nsig AS MATERIALIZED ("
+    sb ++= (0 to levels).map(k => s"SELECT * FROM sg$k").mkString("\n  UNION ALL ")
+    sb ++= """),
+bcp AS (SELECT sv.v AS id, SUM(CAST(sv.sigma AS DOUBLE) * vt.sigma / st.sigma) AS bc
+  FROM sig sv
+  JOIN sig vt ON vt.s = sv.v AND vt.d > 0
+  JOIN sig st ON st.s = sv.s AND st.v = vt.v AND st.d = sv.d + vt.d
+  WHERE sv.d > 0 AND sv.s % 3 = 0
+  GROUP BY sv.v)
+SELECT b.id, ROUND(COALESCE(bcp.bc, 0.0), 6) AS bc
+FROM bverts b LEFT JOIN bcp ON bcp.id = b.id"""
+    sb.toString
+  }
+
   val reg: Seq[Entry] = Seq(
 
     // G1 (SURVEY §2.8): in/out degree on the dense edge table.
@@ -461,6 +557,69 @@ h$k AS MATERIALIZED (SELECT v.id, COALESCE(r.s, 0.0) / (CASE WHEN t.t > 0 THEN t
          |  ROUND(CASE WHEN sumd > 0 AND nv.n > 1
          |    THEN (CAST(reach AS DOUBLE) / sumd) * (CAST(reach AS DOUBLE) / (nv.n - 1))
          |    ELSE 0.0 END, 8) AS closeness
-         |FROM anc, nv""".stripMargin))
+         |FROM anc, nv""".stripMargin)),
+
+    // k-truss (edge-analog of k-core): synchronous support peel to fixpoint
+    // vs the same integer recurrence unrolled 24 rounds (identities past
+    // the fixpoint — KTruss scaladoc). 4-truss: every surviving edge closes
+    // ≥ 2 triangles within the truss.
+    ("g15_ktruss", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      graft.algo.KTruss.run(tedges(dir), k = 4, numPartitions = P, maxIter = 24)
+    }, Some(ktrussSql(4, 24))),
+
+    // Link prediction (common neighbors / Adamic-Adar / Jaccard) on the
+    // triangle graph: top-100 non-adjacent pairs by the all-integer
+    // (cn desc, a, b) order; float scores rounded 8dp (reduce-order noise).
+    ("g16_linkpred", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      graft.algo.LinkPrediction.run(tedges(dir), topK = 100, numPartitions = P)
+        .select(col("a"), col("b"), col("cn"), round(col("aa"), 8).as("aa"),
+          round(col("jaccard"), 8).as("jaccard"), col("rnk"))
+    }, Some(
+      s"""WITH ${tedgesSql.replaceFirst("AS", "AS MATERIALIZED")},
+         |und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM tedges),
+         |sym AS MATERIALIZED (SELECT a AS z, b AS n FROM und UNION ALL SELECT b AS z, a AS n FROM und),
+         |deg AS MATERIALIZED (SELECT z AS id, COUNT(*) AS deg FROM sym GROUP BY z),
+         |cand AS MATERIALIZED (
+         |  SELECT s1.n AS a, s2.n AS b, COUNT(*) AS cn, SUM(1.0 / LN(d.deg)) AS aa
+         |  FROM sym s1 JOIN sym s2 ON s2.z = s1.z AND s1.n < s2.n
+         |  JOIN deg d ON d.id = s1.z
+         |  GROUP BY s1.n, s2.n),
+         |ne AS MATERIALIZED (
+         |  SELECT c.a, c.b, c.cn, c.aa FROM cand c
+         |  LEFT JOIN und e ON e.a = c.a AND e.b = c.b WHERE e.a IS NULL),
+         |rk AS (SELECT a, b, cn, aa,
+         |  ROW_NUMBER() OVER (ORDER BY cn DESC, a ASC, b ASC) AS rnk FROM ne)
+         |SELECT r.a, r.b, r.cn, ROUND(r.aa, 8) AS aa,
+         |  ROUND(CAST(r.cn AS DOUBLE) / (da.deg + db.deg - r.cn), 8) AS jaccard,
+         |  r.rnk
+         |FROM rk r JOIN deg da ON da.id = r.a JOIN deg db ON db.id = r.b
+         |WHERE r.rnk <= 100""".stripMargin)),
+
+    // Deterministic hash-draw random walks (DeepWalk corpus extraction):
+    // 8 steps from every id%5=0 seed on the blocked digraph, next hop =
+    // argmin md5-derived draw key — both engines replay the exact walks.
+    ("g17_walks", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val e = bedges(dir)
+      val seeds = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .where(col("id") % 5 === 0)
+      graft.algo.RandomWalks.run(e, seeds, length = 8, numPartitions = P)
+    }, Some(walksSql(8))),
+
+    // Betweenness centrality (Brandes supersteps, sampled-pivot sources
+    // id%3=0 — the standard estimator at scale) vs the direct σ-formula
+    // mirror; 6dp rounding (betweennessSql doc).
+    ("g18_betweenness", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val e = bedges(dir)
+      val seeds = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .where(col("id") % 3 === 0)
+      graft.algo.Betweenness.run(e, sources = Some(seeds), numPartitions = P)
+        .select(col("id"), round(col("bc"), 6).as("bc"))
+    }, Some(betweennessSql(60)))
   )
 }

@@ -385,4 +385,257 @@ class AlgoSpec extends AnyFunSuite {
     assert((after -- before).isEmpty,
       s"Hits leaked persistent RDDs: ${(after -- before).mkString(",")}")
   }
+
+  // ---- plain-Scala reference k-truss: synchronous peel to fixpoint ----
+  private def refKTruss(es: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
+    var edges = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct.toSet
+    def supports(s: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val verts = s.flatMap(e => Seq(e._1, e._2))
+      s.map { case (a, b) =>
+        val cnt = verts.count(w => w != a && w != b &&
+          s.contains((math.min(a, w), math.max(a, w))) &&
+          s.contains((math.min(b, w), math.max(b, w))))
+        (a, b) -> cnt.toLong
+      }.toMap
+    }
+    var sup = supports(edges)
+    var changed = true
+    while (changed) {
+      val kept = edges.filter(e => sup(e) >= k - 2)
+      changed = kept.size != edges.size
+      edges = kept
+      sup = supports(edges)
+    }
+    sup
+  }
+
+  test("k-truss: overlapping cliques + tail matches sequential peel; " +
+       "chordless cycle peels to empty") {
+    // K5 on 0-4, K4 on 4-7 sharing vertex 4, a tail 7→8→9, and a chordless
+    // 4-cycle 10-13 (every edge in 0 triangles → gone in round 1)
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4 = for (i <- 4L to 7L; j <- (i + 1) to 7L) yield (i, j)
+    val es = k5 ++ k4 ++ Seq((7L, 8L), (8L, 9L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L))
+    val got = KTruss.run(edgeDf(es), k = 4, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = refKTruss(es, 4)
+    assert(got == want)
+    // K5 edges survive with support 3 within K5; K4 edges with support 2;
+    // tail and chordless cycle are peeled
+    assert(got((0L, 1L)) == 3L && got((5L, 6L)) == 2L)
+    assert(!got.contains((7L, 8L)) && !got.contains((10L, 11L)))
+    // a 5-truss keeps only the K5 (K4 edges have support 2 < 3)
+    val got5 = KTruss.run(edgeDf(es), k = 5, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got5 == k5.toSet)
+  }
+
+  test("k-truss on seeded random graph matches sequential peel; " +
+       "all-peeled graph returns empty") {
+    val rnd = new scala.util.Random(23)
+    val es = (0 until 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = KTruss.run(edgeDf(es), k = 5, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == refKTruss(es, 5))
+    // a bare triangle has support 1 per edge: 4-truss empty, 3-truss keeps it
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    assert(KTruss.run(edgeDf(tri), k = 4, numPartitions = 4).count() == 0L)
+    assert(KTruss.run(edgeDf(tri), k = 3, numPartitions = 4).count() == 3L)
+  }
+
+  // ---- plain-Scala reference link prediction --------------------------
+  private def refLinkPred(es: Seq[(Long, Long)], topK: Int)
+      : Seq[(Long, Long, Long, Double, Double, Int)] = {
+    val und = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct.toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    und.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val verts = adj.keys.toSeq.sorted
+    val cands = for {
+      a <- verts; b <- verts if a < b && !und.contains((a, b))
+      common = adj(a) & adj(b) if common.nonEmpty
+    } yield {
+      val cn = common.size.toLong
+      val aa = common.toSeq.map(z => 1.0 / math.log(adj(z).size.toDouble)).sum
+      val jc = cn.toDouble / (adj(a).size + adj(b).size - cn)
+      (a, b, cn, aa, jc)
+    }
+    cands.sortBy(c => (-c._3, c._1, c._2)).take(topK).zipWithIndex
+      .map { case ((a, b, cn, aa, jc), i) => (a, b, cn, aa, jc, i + 1) }
+  }
+
+  test("link prediction matches plain-Scala reference on seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 220).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = LinkPrediction.run(edgeDf(es), topK = 50, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5)))
+      .sortBy(t => t._6)
+    val want = refLinkPred(es, 50)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert((g._1, g._2, g._3, g._6) == ((w._1, w._2, w._3, w._6)), s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 1e-9, s"aa: $g vs $w")
+      assert(math.abs(g._5 - w._5) < 1e-9, s"jaccard: $g vs $w")
+    }
+    // existing edges never predicted
+    val undSet = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    got.foreach(g => assert(!undSet.contains((g._1, g._2))))
+  }
+
+  test("link prediction: path graph a-z-b predicts exactly (a,b)") {
+    // 0-1-2: only non-adjacent pair with a shared neighbor is (0,2);
+    // z=1 has degree 2 → aa = 1/ln 2, jaccard = 1/1
+    val got = LinkPrediction.run(edgeDf(Seq((0L, 1L), (1L, 2L))), topK = 10,
+      numPartitions = 4).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((0L, 2L, 1L)))
+    assert(math.abs(r.getDouble(3) - 1.0 / math.log(2.0)) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+  }
+
+  // ---- plain-Scala reference deterministic walks ----------------------
+  private def md5Draw(walker: Long, step: Int, dst: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${walker}_${step}_$dst".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  private def refWalks(es: Seq[(Long, Long)], seeds: Seq[Long],
+                       length: Int): Set[(Long, Int, Long)] = {
+    val out = es.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    seeds.flatMap { s =>
+      var node = s
+      var alive = true
+      (0 to length).flatMap { k =>
+        if (k == 0) Seq((s, 0, s))
+        else if (!alive) Seq.empty
+        else out.get(node) match {
+          case Some(ns) =>
+            node = ns.minBy(d => (md5Draw(s, k, d), d))
+            Seq((s, k, node))
+          case None => alive = false; Seq.empty
+        }
+      }
+    }.toSet
+  }
+
+  // ---- plain-Scala reference Brandes betweenness (directed, unnormalized,
+  // endpoints excluded, optionally source-restricted) ---------------------
+  private def refBetweenness(es: Seq[(Long, Long)],
+                             sources: Option[Set[Long]]): Map[Long, Double] = {
+    val edges = es.filter(e => e._1 != e._2).distinct
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val bc = scala.collection.mutable.Map[Long, Double]() ++
+      verts.map(_ -> 0.0)
+    val srcs = sources.map(ss => verts.filter(ss)).getOrElse(verts)
+    srcs.foreach { s =>
+      // forward BFS with path counts
+      val dist = scala.collection.mutable.Map[Long, Int](s -> 0)
+      val sigma = scala.collection.mutable.Map[Long, Double](s -> 1.0)
+        .withDefaultValue(0.0)
+      val order = scala.collection.mutable.ArrayBuffer[Long]()
+      var frontier = Seq(s)
+      while (frontier.nonEmpty) {
+        order ++= frontier
+        val nxt = scala.collection.mutable.LinkedHashSet[Long]()
+        frontier.foreach { v =>
+          out.getOrElse(v, Seq.empty).foreach { w =>
+            if (!dist.contains(w)) nxt += w
+          }
+        }
+        // two passes: fix distances first, then accumulate sigma
+        nxt.foreach(w => dist(w) = dist(frontier.head) + 1)
+        frontier.foreach { v =>
+          out.getOrElse(v, Seq.empty).foreach { w =>
+            if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+          }
+        }
+        frontier = nxt.toSeq
+      }
+      // backward accumulation in reverse BFS order
+      val delta = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      order.reverseIterator.foreach { v =>
+        out.getOrElse(v, Seq.empty).foreach { w =>
+          if (dist.contains(w) && dist(w) == dist.getOrElse(v, -99) + 1)
+            delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+        }
+        if (v != s) bc(v) += delta(v)
+      }
+    }
+    bc.toMap
+  }
+
+  test("betweenness matches plain-Scala Brandes on seeded random digraph " +
+       "(exact + sampled sources); no leaked blocks") {
+    val rnd = new scala.util.Random(17)
+    val es = (0 until 200).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Betweenness.run(edgeDf(es), None, numPartitions = 4)
+    val gotM = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refBetweenness(es, None)
+    assert(gotM.keySet == want.keySet)
+    gotM.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-8, s"vertex $k: $v vs ${want(k)}")
+    }
+    graft.core.Checkpoints.release(got)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"Betweenness leaked persistent RDDs: ${(after -- before).mkString(",")}")
+    // sampled-pivot restriction = same job from fewer sources
+    val seeds = (0L to 29L).filter(_ % 4 == 0)
+    import spark.implicits._
+    val gotS = Betweenness.run(edgeDf(es), Some(seeds.toDF("id")),
+      numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wantS = refBetweenness(es, Some(seeds.toSet))
+    gotS.foreach { case (k, v) =>
+      assert(math.abs(v - wantS.getOrElse(k, 0.0)) < 1e-8, s"sampled $k")
+    }
+  }
+
+  test("betweenness: directed path + diamond golden values") {
+    // path 0→1→2→3: bc(1)=2 (pairs 0→2,0→3 via... plus 1→3 doesn't count 1)
+    // precisely: 1 lies on 0→2, 0→3; 2 lies on 0→3, 1→3
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val gotP = Betweenness.run(edgeDf(path), None, numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotP == Map(0L -> 0.0, 1L -> 2.0, 2L -> 2.0, 3L -> 0.0))
+    // diamond 0→{1,2}→3: two equal shortest 0→3 paths, each carrier gets 1/2
+    val diamond = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
+    val gotD = Betweenness.run(edgeDf(diamond), None, numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotD == Map(0L -> 0.0, 1L -> 0.5, 2L -> 0.5, 3L -> 0.0))
+  }
+
+  test("deterministic walks match plain-Scala md5 replay; dead ends stop; " +
+       "replay-stable across runs") {
+    val rnd = new scala.util.Random(41)
+    val es = ((0 until 150).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2) ++ Seq((28L, 31L))).distinct // 31 = dead end
+    val seeds = (0L to 31L).filter(_ % 3 == 0)
+    val seedDf = seeds.toDF("id")
+    val run1 = RandomWalks.run(edgeDf(es), seedDf, length = 6, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run1 == refWalks(es, seeds, 6))
+    // every walker has its step-0 row; steps are gap-free per walker
+    seeds.foreach(s => assert(run1.contains((s, 0, s))))
+    run1.groupBy(_._1).foreach { case (_, rows) =>
+      val steps = rows.map(_._2).toSeq.sorted
+      assert(steps == (0 to steps.max))
+    }
+    val run2 = RandomWalks.run(edgeDf(es), seedDf, length = 6, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run1 == run2)
+  }
 }
