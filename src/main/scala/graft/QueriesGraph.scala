@@ -118,6 +118,28 @@ r$k AS MATERIALIZED (SELECT v.id, (1.0 - $d) * pv.p + $d * (COALESCE(c.s, 0.0) +
     sb.toString
   }
 
+  /** Fixed-iteration WEIGHTED PageRank (networkx `pagerank(weight=…)`:
+    * rank propagates proportionally to w/Σw) — mirrors [[PageRank.run]]
+    * with `weightCol`; weights are the deterministic (src+dst)%7+1. */
+  private def wpagerankSql(iters: Int, d: Double): String = {
+    val sb = new StringBuilder
+    val mat = bedgesSql.replaceFirst("AS", "AS MATERIALIZED")
+    val matV = bvertsSql.replaceFirst("AS", "AS MATERIALIZED")
+    sb ++= s"WITH $mat,\n$matV,\n"
+    sb ++= "bw AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 7 + 1 AS DOUBLE) AS w FROM bedges),\n"
+    sb ++= "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bverts),\n"
+    sb ++= "outdeg AS MATERIALIZED (SELECT src AS id, SUM(w) AS deg FROM bw GROUP BY src),\n"
+    sb ++= "r0 AS MATERIALIZED (SELECT v.id, 1.0/nn.n AS pr FROM bverts v CROSS JOIN nn)"
+    for (k <- 1 to iters) {
+      sb ++= s""",
+dm$k AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS m FROM r${k - 1} r LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL),
+c$k AS MATERIALIZED (SELECT e.dst AS id, SUM(r.pr * e.w / o.deg) AS s FROM bw e JOIN r${k - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.id GROUP BY e.dst),
+r$k AS MATERIALIZED (SELECT v.id, (1.0 - $d)/nn.n + $d * (COALESCE(c.s, 0.0) + dm$k.m/nn.n) AS pr FROM bverts v CROSS JOIN nn CROSS JOIN dm$k LEFT JOIN c$k c ON v.id = c.id)"""
+    }
+    sb ++= s"\nSELECT id, ROUND(pr, 8) AS pr FROM r$iters"
+    sb.toString
+  }
+
   /** Fixed-iteration synchronous label propagation, mirroring
     * [[LabelPropagation.run]] exactly: votes from symmetrized neighbors,
     * argmax by (count desc, label asc), isolated vertices keep their label. */
@@ -620,6 +642,20 @@ FROM bverts b LEFT JOIN bcp ON bcp.id = b.id"""
         .where(col("id") % 3 === 0)
       graft.algo.Betweenness.run(e, sources = Some(seeds), numPartitions = P)
         .select(col("id"), round(col("bc"), 6).as("bc"))
-    }, Some(betweennessSql(60)))
+    }, Some(betweennessSql(60))),
+
+    // Weighted PageRank: rank splits proportionally to the deterministic
+    // (src+dst)%7+1 edge weight (networkx pagerank(weight=…)); 20 fixed
+    // supersteps vs the unrolled mirror, 8dp rounding like g6.
+    ("g19_wpagerank20", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val e = bedges(dir).withColumn("w",
+        ((col("src") + col("dst")) % 7 + 1).cast("double"))
+      val res = PageRank.run(e,
+        PageRank.Params(tol = 0.0, maxIter = 20, numPartitions = P,
+          weightCol = Some("w")),
+        Some(Superstep.Config(P, 20, tol = 0.0, fixedStep = true)))
+      res.state.select(col("id"), round(col("rank"), 8).as("pr"))
+    }, Some(wpagerankSql(20, 0.85)))
   )
 }

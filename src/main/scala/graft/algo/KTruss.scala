@@ -27,12 +27,16 @@ import org.apache.spark.sql.functions._
   * unroll exactly K rounds (QueriesGraph `g15_ktruss`) while this loop
   * stops early.
   *
-  * Scale shape: each round is one triangle enumeration on the *surviving*
+  * Scale shape: each round is ONE triangle enumeration on the *surviving*
   * set — work is monotonically non-increasing, and the wedge join inherits
   * TriangleCount's skew posture (the a < b orientation caps wedge fan-out
   * by the lower-id endpoint's degree). State is a materialized leaf per
   * round (localCheckpoint via Superstep), so the triple self-reference per
-  * round reads a flat scan, not a growing plan chain.
+  * round reads a flat scan, not a growing plan chain. Convergence is a
+  * row-count delta off the CACHED state (a captured counter, not a second
+  * evaluation of the wedge join — a carried `changed` column would embed
+  * the triangle subplan twice per round, once under the survivors filter
+  * and once under its own aggregate).
   */
 object KTruss {
 
@@ -57,8 +61,10 @@ object KTruss {
     val init = und
       .repartition(P, col("a"))
       .withColumn("support", lit(0L))
-      .withColumn("changed", lit(1L))
 
+    // dropped-this-round = previous row count minus current row count; both
+    // reads are O(1) jobs over the materialized (cached) state
+    var prevCount = -1L
     val cfg = Superstep.Config(P, maxIter, tol = 0.0)
     val res = Superstep.run(spark, init, cfg) { (state, _) =>
       val e = state.select("a", "b")
@@ -74,25 +80,15 @@ object KTruss {
         .union(tri.select(col("u").as("a"), col("w").as("b")))
         .union(tri.select(col("v").as("a"), col("w").as("b")))
         .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-      val scored = e.join(sup, Seq("a", "b"), "left")
+      e.join(sup, Seq("a", "b"), "left")
         .select(col("a"), col("b"),
           coalesce(col("sup"), lit(0L)).as("support"))
-      val kept = scored.where(col("support") >= lit(k - 2).cast("long"))
-      // convergence = no edge dropped this round; the dropped-count rides
-      // every surviving row as a constant via a 1-row aggregate cross-join
-      // (stays in-plan — no driver collect inside the loop, the Hits rule).
-      // An all-dropped round leaves an EMPTY state: max over it is null →
-      // coalesce 0 → fixpoint, which is right (nothing left to peel).
-      val dropped = scored
-        .agg(sum(when(col("support") < lit(k - 2).cast("long"), 1L)
-          .otherwise(0L)).as("dropped"))
-      kept.crossJoin(dropped)
-        .select(col("a"), col("b"), col("support"),
-          coalesce(col("dropped"), lit(0L)).as("changed"))
+        .where(col("support") >= lit(k - 2).cast("long"))
     } { state =>
-      // changed is identical on every row (a broadcast scalar); max reads it
-      state.agg(coalesce(max(col("changed")), lit(0L))).collect()(0)
-        .getLong(0).toDouble
+      val c = state.count()
+      val dropped = if (prevCount < 0) Long.MaxValue else prevCount - c
+      prevCount = c
+      dropped.toDouble
     }
 
     res.state.select("a", "b", "support")

@@ -45,7 +45,14 @@ object PageRank {
         * Correct for any input (EnsureRequirements inserts whatever the
         * join still needs); the no-shuffle payoff requires buckets ==
         * numPartitions. */
-      prePartitioned: Boolean = false
+      prePartitioned: Boolean = false,
+      /** Optional edge-weight column (POSITIVE weights — multi-link
+        * multiplicity, anchor-text scores): rank propagates proportionally,
+        * rank(u)·w(u→v)/Σ_x w(u→x), the networkx `pagerank(weight=…)`
+        * semantics. None = classic uniform split (plan unchanged — the
+        * weighted path swaps count(*) for sum(w) in the degree pass and
+        * multiplies the per-edge contribution, nothing else). */
+      weightCol: Option[String] = None
   )
 
   /** @param edges DataFrame(src: long, dst: long) — deduplicated digraph.
@@ -69,19 +76,26 @@ object PageRank {
     val spark = edges.sparkSession
     val P = p.numPartitions
 
+    // weighted path: carry the weight column as canonical "w" (double)
+    val wSel: Seq[Column] = p.weightCol.toSeq.map(c => col(c).cast("double").as("w"))
     val e =
       if (p.prePartitioned) {
         val idTypes = Seq("src", "dst").map(c =>
           edges.schema(c).dataType)
         require(idTypes.forall(_ == org.apache.spark.sql.types.LongType),
           s"prePartitioned input must carry long ids, got $idTypes")
-        edges.select(col("src"), col("dst")).persist()
-      } else edges.select(col("src").cast("long"), col("dst").cast("long"))
+        edges.select(Seq(col("src"), col("dst")) ++ wSel: _*).persist()
+      } else edges.select(Seq(col("src").cast("long"),
+          col("dst").cast("long")) ++ wSel: _*)
         .repartition(P, col("src"))
         .persist()
 
-    // vertex set = src ∪ dst; outdegree via one pass over edges
-    val outDeg = e.groupBy(col("src").as("id")).agg(count("*").as("deg"))
+    // vertex set = src ∪ dst; outdegree (weighted: out-weight sum — the
+    // divisor of the proportional split) via one pass over edges
+    val outDeg = p.weightCol match {
+      case None    => e.groupBy(col("src").as("id")).agg(count("*").as("deg"))
+      case Some(_) => e.groupBy(col("src").as("id")).agg(sum(col("w")).as("deg"))
+    }
     val vertsBase = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -151,12 +165,15 @@ object PageRank {
             .as("dm"))
         else spark.range(1).select(lit(0.0).as("dm"))
 
+      // weighted: each edge carries rank(u)·w/outw(u); classic: rank(u)/deg(u)
+      val perEdge =
+        if (p.weightCol.isEmpty) col("c") else col("c") * col("w")
       val contrib = e
         .join(state.where(col("deg") > 0)
                    .select(col("id"), (col("rank") / col("deg")).as("c")),
               e("src") === col("id"))
         .groupBy(col("dst"))
-        .agg(sum(col("c")).as("msum"))
+        .agg(sum(perEdge).as("msum"))
 
       // teleport + dangling landing: uniform 1/n classically, the
       // personalization vector when present (networkx semantics)

@@ -527,6 +527,56 @@ class AlgoSpec extends AnyFunSuite {
     }.toSet
   }
 
+  // ---- plain-Scala reference WEIGHTED PageRank (proportional split) ----
+  private def refWeightedPageRank(es: Seq[(Long, Long, Double)], d: Double,
+                                  iters: Int): Map[Long, Double] = {
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val out = es.groupBy(_._1).view.mapValues(ws => ws.map(w => (w._2, w._3))).toMap
+    val outW = out.view.mapValues(_.map(_._2).sum).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    (0 until iters).foreach { _ =>
+      val dangling = nodes.filter(v => !out.contains(v)).map(rank).sum
+      val contrib = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      out.foreach { case (u, vs) =>
+        vs.foreach { case (v, w) => contrib(v) += rank(u) * w / outW(u) }
+      }
+      rank = nodes.map(v => v -> ((1 - d) / n + d * (contrib(v) + dangling / n))).toMap
+    }
+    rank
+  }
+
+  test("weighted PageRank matches plain-Scala reference; uniform weights ≡ classic") {
+    val rnd = new scala.util.Random(31)
+    val es = (0 until 180).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val wes = es.map { case (a, b) => (a, b, ((a + b) % 5 + 1).toDouble) }
+    import spark.implicits._
+    val wdf = wes.toDF("src", "dst", "w")
+    val got = PageRank.run(wdf,
+      PageRank.Params(tol = 1e-10, maxIter = 200, numPartitions = 4,
+        weightCol = Some("w")))
+      .state.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refWeightedPageRank(wes, 0.85, 200)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-8, s"vertex $k: $v vs ${want(k)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+    // constant weights: the proportional split IS the uniform split
+    val const = es.map { case (a, b) => (a, b, 2.0) }.toDF("src", "dst", "w")
+    val gotC = PageRank.run(const,
+      PageRank.Params(tol = 1e-12, maxIter = 100, numPartitions = 4,
+        weightCol = Some("w")))
+      .state.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val classic = PageRank.run(es.toDF("src", "dst"),
+      PageRank.Params(tol = 1e-12, maxIter = 100, numPartitions = 4))
+      .state.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    gotC.foreach { case (k, v) =>
+      assert(math.abs(v - classic(k)) < 1e-10, s"uniform≡classic at $k")
+    }
+  }
+
   // ---- plain-Scala reference Brandes betweenness (directed, unnormalized,
   // endpoints excluded, optionally source-restricted) ---------------------
   private def refBetweenness(es: Seq[(Long, Long)],
