@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import QueryUtil._
-import graft.algo.{Bfs, ConnectedComponents, LabelPropagation, PageRank,
-  Reachability, Superstep, TriangleCount}
+import graft.algo.{Bfs, ConnectedComponents, GraphStats, LabelPropagation,
+  PageRank, Reachability, Superstep, TriangleCount}
 
 /** Graph-operator oracles (SURVEY.md §2.8 + the north-rule algorithms).
   *
@@ -142,11 +142,13 @@ r$k AS MATERIALIZED (SELECT v.id, (1.0 - $d)/nn.n + $d * (COALESCE(c.s, 0.0) + d
 
   /** Fixed-iteration synchronous label propagation, mirroring
     * [[LabelPropagation.run]] exactly: votes from symmetrized neighbors,
-    * argmax by (count desc, label asc), isolated vertices keep their label. */
-  private def lpSql(iters: Int): String = {
+    * argmax by (count desc, label asc), isolated vertices keep their label.
+    * `lpSqlBody` emits only the CTE chain so composed mirrors (g21
+    * modularity) can build on the converged l<iters> table. */
+  private def lpSqlBody(iters: Int): String = {
     val sb = new StringBuilder
     val mat = bedgesSql.replaceFirst("AS", "AS MATERIALIZED")
-    sb ++= s"WITH $mat,\n"
+    sb ++= s"$mat,\n"
     sb ++= "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM bedges UNION ALL SELECT dst AS src, src AS dst FROM bedges)),\n"
     sb ++= "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM sym)"
     for (k <- 1 to iters) {
@@ -155,9 +157,11 @@ v$k AS MATERIALIZED (SELECT s.dst AS id, l.label, COUNT(*) AS cnt FROM sym s JOI
 w$k AS MATERIALIZED (SELECT id, label FROM (SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn FROM v$k) WHERE rn = 1),
 l$k AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label FROM l${k - 1} l LEFT JOIN w$k w ON l.id = w.id)"""
     }
-    sb ++= s"\nSELECT id, label FROM l$iters"
     sb.toString
   }
+
+  private def lpSql(iters: Int): String =
+    s"WITH ${lpSqlBody(iters)}\nSELECT id, label FROM l$iters"
 
   /** Fixed-iteration h-index coreness (the exact dataflow of
     * [[graft.algo.Coreness.run]]) unrolled. The update is INTEGER and
@@ -656,6 +660,81 @@ FROM bverts b LEFT JOIN bcp ON bcp.id = b.id"""
           weightCol = Some("w")),
         Some(Superstep.Config(P, 20, tol = 0.0, fixedStep = true)))
       res.state.select(col("id"), round(col("rank"), 8).as("pr"))
-    }, Some(wpagerankSql(20, 0.85)))
+    }, Some(wpagerankSql(20, 0.85))),
+
+    // Local clustering coefficient (nx clustering(): 2T/d(d-1), 0 below
+    // degree 2) — composes the g3 triangle kernel with undirected degree.
+    ("g20_clustering", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      GraphStats.clustering(tedges(dir), P)
+    }, Some(
+      s"""WITH ${tedgesSql.replaceFirst("AS", "AS MATERIALIZED")},
+         |und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM tedges),
+         |deg AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM
+         |  (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |        FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pv AS (SELECT id, COUNT(*) AS triangles FROM (
+         |        SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+         |        UNION ALL SELECT w FROM tri) GROUP BY id)
+         |SELECT d.id, d.deg, COALESCE(pv.triangles, 0) AS triangles,
+         |  ROUND(CASE WHEN d.deg >= 2
+         |    THEN 2.0 * COALESCE(pv.triangles, 0) / (d.deg * (d.deg - 1))
+         |    ELSE 0.0 END, 8) AS cc
+         |FROM deg d LEFT JOIN pv ON pv.id = d.id""".stripMargin)),
+
+    // Modularity of the converged LP communities (Newman Q, per-community
+    // decomposition: e_c/m − (D_c/2m)²): integer e_c/D_c aggregates over
+    // the deterministic 10-round labels, one float formula at the end.
+    ("g21_modularity", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val e = bedges(dir)
+      val labels = LabelPropagation.run(e, numPartitions = P, maxIter = 10,
+        cfg0 = Some(Superstep.Config(P, 10, tol = 0.0, fixedStep = true))).state
+      GraphStats.modularityContrib(e, labels)
+    }, Some(
+      s"""WITH ${lpSqlBody(10)},
+         |und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM bedges),
+         |deg AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM
+         |  (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+         |m AS MATERIALIZED (SELECT COUNT(*) AS m FROM und),
+         |ec AS MATERIALIZED (SELECT la.label, COUNT(*) AS ec FROM und
+         |  JOIN l10 la ON la.id = und.a JOIN l10 lb ON lb.id = und.b
+         |  WHERE la.label = lb.label GROUP BY la.label),
+         |dc AS MATERIALIZED (SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS dc
+         |  FROM l10 l JOIN deg d ON d.id = l.id GROUP BY l.label)
+         |SELECT dc.label, COALESCE(ec.ec, 0) AS ec, dc.dc,
+         |  ROUND(CAST(COALESCE(ec.ec, 0) AS DOUBLE) / m.m -
+         |    (CAST(dc.dc AS DOUBLE) / (2 * m.m)) *
+         |    (CAST(dc.dc AS DOUBLE) / (2 * m.m)), 8) AS q_contrib
+         |FROM dc LEFT JOIN ec ON ec.label = dc.label CROSS JOIN m""".stripMargin)),
+
+    // Degree assortativity (nx degree_assortativity_coefficient, undirected:
+    // Pearson r over the degree pairs of every edge stub). All sums are
+    // exact BIGINT; the closed-form float evaluation is a fixed expression
+    // tree both engines execute identically (IEEE), rounded 8dp.
+    ("g22_assortativity", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      GraphStats.assortativity(tedges(dir))
+    }, Some(
+      s"""WITH ${tedgesSql.replaceFirst("AS", "AS MATERIALIZED")},
+         |und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM tedges),
+         |sym AS MATERIALIZED (SELECT a AS p, b AS q FROM und UNION ALL SELECT b AS p, a AS q FROM und),
+         |deg AS MATERIALIZED (SELECT p AS id, COUNT(*) AS deg FROM sym GROUP BY p),
+         |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dj.deg) AS BIGINT) AS sj, CAST(SUM(dk.deg) AS BIGINT) AS sk,
+         |    CAST(SUM(dj.deg * dk.deg) AS BIGINT) AS sjk,
+         |    CAST(SUM(dj.deg * dj.deg) AS BIGINT) AS sj2,
+         |    CAST(SUM(dk.deg * dk.deg) AS BIGINT) AS sk2
+         |  FROM sym s JOIN deg dj ON dj.id = s.p JOIN deg dk ON dk.id = s.q)
+         |SELECT n,
+         |  ROUND(CASE WHEN (CAST(n AS DOUBLE) * sj2 - CAST(sj AS DOUBLE) * sj) *
+         |             (CAST(n AS DOUBLE) * sk2 - CAST(sk AS DOUBLE) * sk) > 0
+         |    THEN (CAST(n AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sk) /
+         |      SQRT((CAST(n AS DOUBLE) * sj2 - CAST(sj AS DOUBLE) * sj) *
+         |           (CAST(n AS DOUBLE) * sk2 - CAST(sk AS DOUBLE) * sk))
+         |    ELSE 0.0 END, 8) AS assortativity
+         |FROM sums""".stripMargin))
   )
 }
