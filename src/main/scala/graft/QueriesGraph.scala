@@ -710,6 +710,35 @@ FROM bverts b LEFT JOIN bcp ON bcp.id = b.id"""
          |    (CAST(dc.dc AS DOUBLE) / (2 * m.m)), 8) AS q_contrib
          |FROM dc LEFT JOIN ec ON ec.label = dc.label CROSS JOIN m""".stripMargin)),
 
+    // Per-community conductance over the same converged LP communities as
+    // g21 (nx conductance: cut / min(vol, 2m−vol)) — the boundary-quality
+    // complement of modularity's internal-density view.
+    ("g23_conductance", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val e = bedges(dir)
+      val labels = LabelPropagation.run(e, numPartitions = P, maxIter = 10,
+        cfg0 = Some(Superstep.Config(P, 10, tol = 0.0, fixedStep = true))).state
+      GraphStats.conductance(e, labels)
+    }, Some(
+      s"""WITH ${lpSqlBody(10)},
+         |und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM bedges),
+         |deg AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM
+         |  (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+         |m AS MATERIALIZED (SELECT COUNT(*) AS m FROM und),
+         |tagged AS MATERIALIZED (SELECT la.label AS la, lb.label AS lb FROM und
+         |  JOIN l10 la ON la.id = und.a JOIN l10 lb ON lb.id = und.b),
+         |cut AS MATERIALIZED (SELECT label, COUNT(*) AS cut FROM (
+         |  SELECT la AS label FROM tagged WHERE la <> lb
+         |  UNION ALL SELECT lb FROM tagged WHERE la <> lb) GROUP BY label),
+         |vol AS MATERIALIZED (SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS vol
+         |  FROM l10 l JOIN deg d ON d.id = l.id GROUP BY l.label)
+         |SELECT v.label, COALESCE(c.cut, 0) AS cut, v.vol,
+         |  ROUND(CASE WHEN LEAST(CAST(v.vol AS DOUBLE), 2 * m.m - CAST(v.vol AS DOUBLE)) > 0
+         |    THEN CAST(COALESCE(c.cut, 0) AS DOUBLE) /
+         |      LEAST(CAST(v.vol AS DOUBLE), 2 * m.m - CAST(v.vol AS DOUBLE))
+         |    ELSE 0.0 END, 8) AS conductance
+         |FROM vol v LEFT JOIN cut c ON c.label = v.label CROSS JOIN m""".stripMargin)),
+
     // Degree assortativity (nx degree_assortativity_coefficient, undirected:
     // Pearson r over the degree pairs of every edge stub). All sums are
     // exact BIGINT; the closed-form float evaluation is a fixed expression

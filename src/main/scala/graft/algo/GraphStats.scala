@@ -82,6 +82,38 @@ object GraphStats {
           .as("q_contrib"))
   }
 
+  /** Per-community conductance for a vertex→community table `labels`
+    * (id, label): (label, cut, vol, conductance) where cut = boundary
+    * edges (exactly one endpoint in the community), vol = Σ deg(v) over
+    * the community, conductance = cut / min(vol, 2m − vol) (nx
+    * `conductance(G, S)` with the complement-aware denominator), 8dp;
+    * 0.0 when the denominator is degenerate. cut/vol/m stay exact BIGINT.
+    *
+    * Shape: one labels⋈edges pass tags each undirected edge with both
+    * endpoint labels; cross-label edges contribute one boundary count to
+    * EACH side via a two-branch union aggregated map-side. Communities
+    * with an empty boundary appear with cut=0. */
+  def conductance(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    val mAgg = und.agg(count(lit(1)).as("m")) // scalar: in-plan cross join
+    val la = labels.select(col("id").as("a"), col("label").as("la"))
+    val lb = labels.select(col("id").as("b"), col("label").as("lb"))
+    val tagged = und.join(la, Seq("a")).join(lb, Seq("b"))
+    val cross = tagged.where(col("la") =!= col("lb"))
+    val cut = cross.select(col("la").as("label"))
+      .union(cross.select(col("lb").as("label")))
+      .groupBy("label").agg(count(lit(1)).as("cut"))
+    val vol = labels.join(degrees(edges), Seq("id"))
+      .groupBy(col("label")).agg(sum(col("deg")).as("vol"))
+    val denom = least(col("vol").cast("double"),
+      lit(2) * col("m") - col("vol").cast("double"))
+    vol.join(cut, Seq("label"), "left").na.fill(0L, Seq("cut"))
+      .crossJoin(broadcast(mAgg))
+      .select(col("label"), col("cut"), col("vol"),
+        round(when(denom > 0, col("cut").cast("double") / denom)
+          .otherwise(0.0), 8).as("conductance"))
+  }
+
   /** Degree assortativity: one row (n, assortativity) where n = 2|E| stub
     * pairs and assortativity = Pearson r over (deg(p), deg(q)) of every
     * stub, 8dp; 0.0 when the variance product is degenerate (regular

@@ -81,6 +81,32 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 0L))
   }
 
+  test("conductance matches nx cut/min(vol, 2m-vol) (micro)") {
+    val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 20L, 5L -> 20L, 6L -> 20L).toDF("id", "label")
+    val got = GraphStats.conductance(edgeDf(es), labels)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val m = und.size // 7
+    // one bridge edge (3-4) crosses; each side: cut=1, vol=7, 2m-vol=7
+    Seq(10L, 20L).foreach { c =>
+      val (cut, vol, phi) = got(c)
+      assert(cut == 1L && vol == 7L, s"community $c: cut=$cut vol=$vol")
+      val want = cut.toDouble / math.min(vol.toDouble, 2.0 * m - vol)
+      assert(math.abs(phi - want) < 1e-8, s"phi($c): $phi vs $want")
+    }
+  }
+
+  test("conductance: whole-graph community has cut=0 and phi=0") {
+    val labels = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(_ -> 99L).toDF("id", "label")
+    val got = GraphStats.conductance(edgeDf(es), labels).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // vol = 2m, so min(vol, 2m-vol) = 0 → degenerate denominator → 0.0
+    assert(r.getLong(1) == 0L && r.getLong(2) == 2L * und.size &&
+      r.getDouble(3) == 0.0)
+  }
+
   test("assortativity matches plain-Scala Pearson over stubs (micro)") {
     val stubs = und.toSeq.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
     val xs = stubs.map(s => deg(s._1).toDouble)
