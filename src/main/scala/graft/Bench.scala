@@ -113,12 +113,19 @@ object Bench {
       QueryUtil.releaseScratch(spark) // no retained blocks across the sweep
       (name, wall, cpu, gc)
     }
-    def numMap(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => "\"" + k + f"""\":${v}%.2f""" }
-        .mkString("{", ",", "}")
-    val qs = numMap(results.map(r => r._1 -> r._2))
+    def numMap(xs: Seq[(String, Double)], dp: Int = 2): String =
+      xs.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, s"%.${dp}f",
+          Double.box(v))
+      }.mkString("{", ",", "}")
+    // contract-line wall map at 1dp: at the 68-query registry width the
+    // 2dp line ran 1,817 chars — within the driver's ~2,000-char tail
+    // capture but with <200 chars of headroom for round-5 queries. The
+    // full-precision walls stay on the diag line + sidecar.
+    val qs = numMap(results.map(r => r._1 -> r._2), dp = 1)
     val qsCpu = numMap(results.map(r => r._1 -> r._3))
     val qsGc = numMap(results.map(r => r._1 -> r._4))
+    val qsWall2 = numMap(results.map(r => r._1 -> r._2))
     val total = buildSec + prSec + ccSec + triSec + lpSec + results.map(_._2).sum
 
     val graphJson =
@@ -132,8 +139,8 @@ object Bench {
     val totalCpu = processCpuSec() - cpuStart
     val diagJson =
       f"""{"total_cpu_sec":$totalCpu%.2f,"load_avg_start":$loadStart%.2f,""" +
-        f""""load_avg_end":$loadEnd%.2f,"queries_cpu_sec":$qsCpu,""" +
-        f""""queries_gc_sec":$qsGc}"""
+        f""""load_avg_end":$loadEnd%.2f,"queries_wall_sec":$qsWall2,""" +
+        f""""queries_cpu_sec":$qsCpu,"queries_gc_sec":$qsGc}"""
 
     // DRIVER CONTRACT: the driver machine-reads only the LAST ~2000 chars of
     // stdout, so the final JSON line must stay compact — total + per-query

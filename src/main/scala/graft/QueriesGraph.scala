@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import QueryUtil._
 import graft.algo.{Bfs, ConnectedComponents, GraphStats, LabelPropagation,
   PageRank, Reachability, Superstep, TriangleCount}
+import graft.graphbuild.HostGraph
 
 /** Graph-operator oracles (SURVEY.md §2.8 + the north-rule algorithms).
   *
@@ -71,6 +72,63 @@ object QueriesGraph {
       |    AND l_orderkey % 700 <> l_partkey % 700)""".stripMargin
 
   private val P = 8 // fixed partitioning for oracle runs (verify is local[4])
+
+  /** Url-level link edges synthesized from events (same derivation law on
+    * both engines, the wg-family recipe): hosts are 2-3-label names in
+    * unknown-TLD space (`w3.h17.example`), where the PSL fallback rule
+    * makes etld1 ≡ last-two-labels — which IS SQL-expressible, so the
+    * DuckDB mirror can replay the host contraction exactly while the
+    * Spark side runs the real native `etld1`. */
+  private def uedges(dir: String)(implicit s: SparkSession): DataFrame = {
+    val k = jsonGet(col("props"), "k").cast("long")
+    t(dir, "events").select(col("event_id").as("c"), k.as("k"))
+      .select(
+        concat(lit("http://w"), col("k") % 7, lit(".h"), col("k") % 40,
+          lit(".example/p"), col("c") % 13).as("src"),
+        concat(lit("http://h"), (col("k") * 3 + col("c")) % 40,
+          lit(".example/q"), col("c") % 11).as("dst"))
+  }
+
+  private val uedgesSql =
+    """uedges AS (SELECT
+      |    'http://w' || (k%7) || '.h' || (k%40) || '.example/p' || (c%13) AS src,
+      |    'http://h' || ((k*3+c)%40) || '.example/q' || (c%11) AS dst
+      |  FROM (SELECT event_id AS c,
+      |        CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events))""".stripMargin
+
+  /** Host contraction mirror: DISTINCT url pairs → last-two-label hosts →
+    * drop null/intra-host → count (HostGraph.contract's exact dataflow). */
+  private val hedgesSql =
+    """hedges AS (SELECT sh AS src_host, dh AS dst_host,
+      |    CAST(COUNT(*) AS BIGINT) AS weight FROM (
+      |  SELECT regexp_extract(regexp_extract(src,'^http://([^/]+)',1),'([^.]+\.[^.]+)$',1) AS sh,
+      |         regexp_extract(regexp_extract(dst,'^http://([^/]+)',1),'([^.]+\.[^.]+)$',1) AS dh
+      |  FROM (SELECT DISTINCT src, dst FROM uedges))
+      |  WHERE sh IS NOT NULL AND dh IS NOT NULL AND sh <> dh
+      |  GROUP BY sh, dh)""".stripMargin
+
+  /** Weighted fixed-iteration PageRank over the contracted host graph,
+    * keyed on host STRINGS (ids are internal to the Spark side — the
+    * comparison is on (host, pr), so the mirror never needs to replay the
+    * xxhash64 vertex ids). Same loop law as [[wpagerankSql]]. */
+  private def hostPrSql(iters: Int, d: Double): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${uedgesSql.replaceFirst("AS", "AS MATERIALIZED")},\n"
+    sb ++= s"${hedgesSql.replaceFirst("AS", "AS MATERIALIZED")},\n"
+    sb ++= "hw AS MATERIALIZED (SELECT src_host AS src, dst_host AS dst, CAST(weight AS DOUBLE) AS w FROM hedges),\n"
+    sb ++= "hverts AS MATERIALIZED (SELECT DISTINCT h AS id FROM (SELECT src_host AS h FROM hedges UNION ALL SELECT dst_host FROM hedges)),\n"
+    sb ++= "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hverts),\n"
+    sb ++= "outdeg AS MATERIALIZED (SELECT src AS id, SUM(w) AS deg FROM hw GROUP BY src),\n"
+    sb ++= "r0 AS MATERIALIZED (SELECT v.id, 1.0/nn.n AS pr FROM hverts v CROSS JOIN nn)"
+    for (k <- 1 to iters) {
+      sb ++= s""",
+dm$k AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS m FROM r${k - 1} r LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL),
+c$k AS MATERIALIZED (SELECT e.dst AS id, SUM(r.pr * e.w / o.deg) AS s FROM hw e JOIN r${k - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.id GROUP BY e.dst),
+r$k AS MATERIALIZED (SELECT v.id, (1.0 - $d)/nn.n + $d * (COALESCE(c.s, 0.0) + dm$k.m/nn.n) AS pr FROM hverts v CROSS JOIN nn CROSS JOIN dm$k LEFT JOIN c$k c ON v.id = c.id)"""
+    }
+    sb ++= s"\nSELECT id AS host, ROUND(pr, 8) AS pr FROM r$iters"
+    sb.toString
+  }
 
   /** Fixed-iteration PageRank as chained CTEs — the exact dataflow of
     * [[PageRank.run]] (dangling-mass redistribution included), unrolled. */
@@ -764,6 +822,33 @@ FROM bverts b LEFT JOIN bcp ON bcp.id = b.id"""
          |      SQRT((CAST(n AS DOUBLE) * sj2 - CAST(sj AS DOUBLE) * sj) *
          |           (CAST(n AS DOUBLE) * sk2 - CAST(sk AS DOUBLE) * sk))
          |    ELSE 0.0 END, 8) AS assortativity
-         |FROM sums""".stripMargin))
+         |FROM sums""".stripMargin)),
+
+    // Common-Crawl host-graph contraction: url edges → registrable-domain
+    // edges with link multiplicities (HostGraph.contract, native etld1;
+    // the mirror replays the PSL unknown-TLD fallback as last-two-labels,
+    // exact on the fixture's host space).
+    ("g24_hostgraph", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      HostGraph.contract(uedges(dir))
+    }, Some(
+      s"""WITH ${uedgesSql.replaceFirst("AS", "AS MATERIALIZED")},
+         |$hedgesSql
+         |SELECT src_host, dst_host, weight FROM hedges""".stripMargin)),
+
+    // Weighted PageRank over the contracted host graph — the Common-Crawl
+    // domain-ranking job end-to-end (contract → xxhash64 vertex ids →
+    // weighted superstep loop → ranks joined back to host names). The
+    // mirror runs the identical loop keyed on host strings.
+    ("g25_hostrank", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val (e, hosts) = HostGraph.withIds(HostGraph.contract(uedges(dir)))
+      val res = PageRank.run(e,
+        PageRank.Params(tol = 0.0, maxIter = 20, numPartitions = P,
+          weightCol = Some("weight")),
+        Some(Superstep.Config(P, 20, tol = 0.0, fixedStep = true)))
+      res.state.join(hosts, Seq("id"))
+        .select(col("host"), round(col("rank"), 8).as("pr"))
+    }, Some(hostPrSql(20, 0.85)))
   )
 }

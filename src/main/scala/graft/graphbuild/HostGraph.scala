@@ -1,0 +1,70 @@
+package graft.graphbuild
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ext.GraftExtensions
+
+/** Host-level contraction of a url-level link graph — the Common-Crawl
+  * "domain/host web graph" workflow: collapse page-to-page edges into
+  * registrable-domain edges carrying link multiplicities, ready for the
+  * weighted north-rule algorithms (weighted PageRank over the contracted
+  * graph is the classic domain-ranking job; Common Crawl publishes exactly
+  * this artifact as its host- and domain-level web graphs).
+  *
+  * Scale shape: one url-level dedup (the north_star's "deduplicated
+  * url-normalized edge Dataset" — an aggregate, map-side combined), one
+  * host mapping via the native codegen'd `etld1` expression (no UDF), one
+  * (src_host, dst_host) count aggregate. Hosts are LOW-cardinality
+  * relative to pages (10⁷-ish domains vs 10¹² pages), so the contracted
+  * table is small enough for downstream joins to broadcast — but the
+  * contraction itself never assumes that: both aggregates are algebraic
+  * partial aggs over the full edge volume.
+  */
+object HostGraph {
+
+  /** Default host rule: registrable domain (eTLD+1) of the url, via the
+    * native expression (PSL + unknown-TLD fallback, null for IPs /
+    * single-label hosts). */
+  def defaultHost(url: Column): Column = call_function("etld1", url)
+
+  /** Contract a url-edge table (src, dst urls) to
+    * (src_host, dst_host, weight):
+    *  - url-level edges dedup'd FIRST (multiplicity = distinct page links,
+    *    not crawl-event count — the Common-Crawl convention);
+    *  - hosts via `hostExpr` (default eTLD+1); null hosts dropped
+    *    (unparseable urls — reference's try/except→None);
+    *  - intra-host edges dropped (host-graph convention: self-loops carry
+    *    no ranking signal and dwarf cross-host weight on big sites);
+    *  - weight = count of surviving url-level links per host pair. */
+  def contract(urlEdges: DataFrame,
+               hostExpr: Column => Column = defaultHost): DataFrame = {
+    GraftExtensions.register(urlEdges.sparkSession)
+    urlEdges.select(col("src"), col("dst"))
+      .dropDuplicates("src", "dst")
+      .select(hostExpr(col("src")).as("src_host"),
+        hostExpr(col("dst")).as("dst_host"))
+      .where(col("src_host").isNotNull && col("dst_host").isNotNull &&
+        col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host").agg(count(lit(1)).as("weight"))
+  }
+
+  /** Attach stable numeric vertex ids for the superstep algorithms
+    * (PageRank et al. take long ids): returns
+    * (edges(src, dst, weight), hosts(id, host)). Ids are xxhash64 of the
+    * host string — deterministic, content-derived (F19), no driver-side
+    * dictionary. Collision odds at 10⁷-domain scale ≈ 3·10⁻⁶ (birthday,
+    * 64-bit); a collision would merge two hosts' vertices — detectable by
+    * `hosts` count vs distinct id count, and acceptable for ranking use. */
+  def withIds(hostEdges: DataFrame): (DataFrame, DataFrame) = {
+    val hosts = hostEdges.select(col("src_host").as("host"))
+      .union(hostEdges.select(col("dst_host")))
+      .distinct()
+      .select(xxhash64(col("host")).as("id"), col("host"))
+    val edges = hostEdges.select(
+      xxhash64(col("src_host")).as("src"),
+      xxhash64(col("dst_host")).as("dst"),
+      col("weight"))
+    (edges, hosts)
+  }
+}

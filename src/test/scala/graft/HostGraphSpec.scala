@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graphbuild.HostGraph
+
+/** HostGraph contraction: url-level dedup, eTLD+1 mapping (REAL PSL rules
+  * here — the g24/g25 oracle fixture deliberately stays in unknown-TLD
+  * space where etld1 degenerates to last-two-labels; this spec pins the
+  * PSL-proper cases), null/self-loop handling, id stability. */
+class HostGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val urls = Seq(
+    // two pages on www.a.co.uk → one page on b.com (dup'd: counts once)
+    ("http://www.a.co.uk/p1", "http://b.com/x"),
+    ("http://www.a.co.uk/p1", "http://b.com/x"), // exact dup
+    ("http://www.a.co.uk/p2", "http://b.com/x"),
+    // different subdomain, same registrable domain → same src_host
+    ("http://m.a.co.uk/p3", "http://b.com/y"),
+    // intra-host after contraction (sub1.b.com → b.com) → dropped
+    ("http://sub1.b.com/p", "http://b.com/q"),
+    // unparseable src (IP literal) → null host → dropped
+    ("http://192.168.0.1/p", "http://b.com/z"),
+    // reverse direction exists separately
+    ("http://b.com/r", "http://www.a.co.uk/s"))
+
+  test("contract dedups urls, maps eTLD+1, drops nulls and self-loops") {
+    val got = HostGraph.contract(urls.toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // a.co.uk → b.com: p1 (deduped), p2, p3 = 3 distinct url links
+    assert(got == Map(
+      ("a.co.uk", "b.com") -> 3L,
+      ("b.com", "a.co.uk") -> 1L))
+  }
+
+  test("withIds assigns deterministic content-derived ids") {
+    val he = HostGraph.contract(urls.toDF("src", "dst"))
+    val (e1, h1) = HostGraph.withIds(he)
+    val (e2, h2) = HostGraph.withIds(he)
+    assert(e1.collect().toSet == e2.collect().toSet) // replay-stable
+    val hosts = h1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hosts.values.toSet == Set("a.co.uk", "b.com"))
+    assert(hosts.size == 2) // distinct ids
+    // edges reference exactly the host ids
+    val ids = e1.select("src").union(e1.select("dst"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == hosts.keySet)
+    assert(h1.collect().toSet == h2.collect().toSet)
+  }
+
+  test("custom host rule is pluggable (raw authority)") {
+    import org.apache.spark.sql.functions._
+    val got = HostGraph.contract(urls.toDF("src", "dst"),
+        u => regexp_extract(u, "^https?://([^/]+)", 1))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // raw authority keeps subdomains apart; sub1.b.com → b.com survives
+    assert(got(("sub1.b.com", "b.com")) == 1L)
+    assert(got(("www.a.co.uk", "b.com")) == 2L) // p1 deduped + p2
+    assert(got(("m.a.co.uk", "b.com")) == 1L)
+    // IP authority is non-null under the raw rule → edge kept
+    assert(got(("192.168.0.1", "b.com")) == 1L)
+  }
+}
