@@ -15,7 +15,7 @@ import graft.model.Page
   *     --pages <parquet dir>  (url, warc_ts, html, text, lang)  \
   *     --out <dir>  [--partitions N] [--tol 1e-6] [--checkpoint <dir>] \
   *     [--run-id <id>] [--store parquet|snapshot] [--expire-keep K] \
-  *     [--async-ckpt] [--bucket-edges]
+  *     [--async-ckpt] [--bucket-edges] [--host-graph]
   *
   * Stages (each written as parquet under --out; resumable through
   * --checkpoint + --run-id mid-PageRank):
@@ -142,6 +142,26 @@ object Pipeline {
     mem.phase("triangles")
     val (tri, triTotal) = TriangleCount.perVertexAndTotal(edges, partitions)
     tri.write.mode(SaveMode.Overwrite).parquet(s"$out/triangles")
+
+    // --host-graph: the Common-Crawl domain-graph artifact — contract the
+    // url-level edge table to registrable-domain weighted edges and rank
+    // hosts with weighted PageRank (HostGraph scaladoc for the semantics).
+    if (args.contains("--host-graph")) {
+      mem.phase("hostgraph")
+      val urlEdges = spark.read.parquet(s"$out/edges")
+        .select(col("src"), col("dst"))
+      graft.graphbuild.HostGraph.contract(urlEdges)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/host_edges")
+      val (he, hosts) = graft.graphbuild.HostGraph.withIds(
+        spark.read.parquet(s"$out/host_edges"))
+      val hpr = PageRank.run(he, PageRank.Params(tol = tol, maxIter = 200,
+        numPartitions = partitions, weightCol = Some("weight")))
+      hpr.state.join(hosts, Seq("id"))
+        .select(col("host"), col("rank"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/host_ranks")
+      println(s"host graph -> $out/host_edges, host_ranks " +
+        s"(pr_steps=${hpr.steps})")
+    }
     mem.finish()
     // every plan over the bucketed read is materialized by now — undo the
     // session-wide autoBucketedScan pin read() had to take
