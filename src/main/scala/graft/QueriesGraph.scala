@@ -849,6 +849,42 @@ FROM bverts b LEFT JOIN bcp ON bcp.id = b.id"""
         Some(Superstep.Config(P, 20, tol = 0.0, fixedStep = true)))
       res.state.join(hosts, Seq("id"))
         .select(col("host"), round(col("rank"), 8).as("pr"))
-    }, Some(hostPrSql(20, 0.85)))
+    }, Some(hostPrSql(20, 0.85))),
+
+    // Crawl-snapshot link churn (CrawlDiff): two deterministic snapshot
+    // slices of the url edge table (k%5 / (k+c)%5 — overlapping sets),
+    // edge-level added/removed/persisted, aggregated per source host.
+    ("g26_crawldiff", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val k = jsonGet(col("props"), "k").cast("long")
+      val base = t(dir, "events").select(col("event_id").as("c"), k.as("k"))
+        .select(
+          concat(lit("http://w"), col("k") % 7, lit(".h"), col("k") % 40,
+            lit(".example/p"), col("c") % 13).as("src"),
+          concat(lit("http://h"), (col("k") * 3 + col("c")) % 40,
+            lit(".example/q"), col("c") % 11).as("dst"),
+          col("k"), col("c"))
+      val snapA = base.where(col("k") % 5 =!= 0).select("src", "dst")
+      val snapB = base.where((col("k") + col("c")) % 5 =!= 0)
+        .select("src", "dst")
+      graft.graphbuild.CrawlDiff.hostChurn(
+        graft.graphbuild.CrawlDiff.edgeDiff(snapA, snapB))
+    }, Some(
+      s"""WITH base AS MATERIALIZED (SELECT
+         |    'http://w' || (k%7) || '.h' || (k%40) || '.example/p' || (c%13) AS src,
+         |    'http://h' || ((k*3+c)%40) || '.example/q' || (c%11) AS dst, k, c
+         |  FROM (SELECT event_id AS c,
+         |        CAST(json_extract_string(props,'$$.k') AS BIGINT) AS k FROM events)),
+         |sa AS MATERIALIZED (SELECT DISTINCT src, dst FROM base WHERE k%5 <> 0),
+         |sb AS MATERIALIZED (SELECT DISTINCT src, dst FROM base WHERE (k+c)%5 <> 0),
+         |diff AS MATERIALIZED (SELECT COALESCE(sa.src, sb.src) AS src,
+         |    CASE WHEN sa.src IS NOT NULL AND sb.src IS NOT NULL THEN 'persisted'
+         |         WHEN sa.src IS NOT NULL THEN 'removed' ELSE 'added' END AS status
+         |  FROM sa FULL OUTER JOIN sb ON sa.src = sb.src AND sa.dst = sb.dst)
+         |SELECT regexp_extract(regexp_extract(src,'^http://([^/]+)',1),'([^.]+\\.[^.]+)$$',1) AS host,
+         |  CAST(SUM(CASE WHEN status='added' THEN 1 ELSE 0 END) AS BIGINT) AS added,
+         |  CAST(SUM(CASE WHEN status='removed' THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+         |  CAST(SUM(CASE WHEN status='persisted' THEN 1 ELSE 0 END) AS BIGINT) AS persisted
+         |FROM diff GROUP BY 1""".stripMargin))
   )
 }
