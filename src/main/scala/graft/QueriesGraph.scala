@@ -79,6 +79,8 @@ object QueriesGraph {
     * makes etld1 ≡ last-two-labels — which IS SQL-expressible, so the
     * DuckDB mirror can replay the host contraction exactly while the
     * Spark side runs the real native `etld1`. */
+  /** Carries the (k, c) slice keys alongside (src, dst) so g26's snapshot
+    * slices reuse the SAME derivation (one recipe, both engines). */
   private def uedges(dir: String)(implicit s: SparkSession): DataFrame = {
     val k = jsonGet(col("props"), "k").cast("long")
     t(dir, "events").select(col("event_id").as("c"), k.as("k"))
@@ -86,13 +88,14 @@ object QueriesGraph {
         concat(lit("http://w"), col("k") % 7, lit(".h"), col("k") % 40,
           lit(".example/p"), col("c") % 13).as("src"),
         concat(lit("http://h"), (col("k") * 3 + col("c")) % 40,
-          lit(".example/q"), col("c") % 11).as("dst"))
+          lit(".example/q"), col("c") % 11).as("dst"),
+        col("k"), col("c"))
   }
 
   private val uedgesSql =
     """uedges AS (SELECT
       |    'http://w' || (k%7) || '.h' || (k%40) || '.example/p' || (c%13) AS src,
-      |    'http://h' || ((k*3+c)%40) || '.example/q' || (c%11) AS dst
+      |    'http://h' || ((k*3+c)%40) || '.example/q' || (c%11) AS dst, k, c
       |  FROM (SELECT event_id AS c,
       |        CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events))""".stripMargin
 
@@ -117,17 +120,8 @@ object QueriesGraph {
     sb ++= s"${hedgesSql.replaceFirst("AS", "AS MATERIALIZED")},\n"
     sb ++= "hw AS MATERIALIZED (SELECT src_host AS src, dst_host AS dst, CAST(weight AS DOUBLE) AS w FROM hedges),\n"
     sb ++= "hverts AS MATERIALIZED (SELECT DISTINCT h AS id FROM (SELECT src_host AS h FROM hedges UNION ALL SELECT dst_host FROM hedges)),\n"
-    sb ++= "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hverts),\n"
-    sb ++= "outdeg AS MATERIALIZED (SELECT src AS id, SUM(w) AS deg FROM hw GROUP BY src),\n"
-    sb ++= "r0 AS MATERIALIZED (SELECT v.id, 1.0/nn.n AS pr FROM hverts v CROSS JOIN nn)"
-    for (k <- 1 to iters) {
-      sb ++= s""",
-dm$k AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS m FROM r${k - 1} r LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL),
-c$k AS MATERIALIZED (SELECT e.dst AS id, SUM(r.pr * e.w / o.deg) AS s FROM hw e JOIN r${k - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.id GROUP BY e.dst),
-r$k AS MATERIALIZED (SELECT v.id, (1.0 - $d)/nn.n + $d * (COALESCE(c.s, 0.0) + dm$k.m/nn.n) AS pr FROM hverts v CROSS JOIN nn CROSS JOIN dm$k LEFT JOIN c$k c ON v.id = c.id)"""
-    }
-    sb ++= s"\nSELECT id AS host, ROUND(pr, 8) AS pr FROM r$iters"
-    sb.toString
+    prLoopSql(sb, "hw", "hverts", iters, d,
+      s"SELECT id AS host, ROUND(pr, 8) AS pr FROM r$iters")
   }
 
   /** Fixed-iteration PageRank as chained CTEs — the exact dataflow of
@@ -179,23 +173,33 @@ r$k AS MATERIALIZED (SELECT v.id, (1.0 - $d) * pv.p + $d * (COALESCE(c.s, 0.0) +
   /** Fixed-iteration WEIGHTED PageRank (networkx `pagerank(weight=…)`:
     * rank propagates proportionally to w/Σw) — mirrors [[PageRank.run]]
     * with `weightCol`; weights are the deterministic (src+dst)%7+1. */
+  /** Shared unrolled weighted-PR loop law over weighted edges `ew`
+    * (src, dst, w) and vertices `vv` (id) — appended to a caller-built
+    * CTE prefix; the ONE place the dangling/damping expressions live
+    * (g19's bedges mirror and g25's host mirror both instantiate it). */
+  private def prLoopSql(sb: StringBuilder, ew: String, vv: String,
+                        iters: Int, d: Double, finalSelect: String): String = {
+    sb ++= s"nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM $vv),\n"
+    sb ++= s"outdeg AS MATERIALIZED (SELECT src AS id, SUM(w) AS deg FROM $ew GROUP BY src),\n"
+    sb ++= s"r0 AS MATERIALIZED (SELECT v.id, 1.0/nn.n AS pr FROM $vv v CROSS JOIN nn)"
+    for (k <- 1 to iters) {
+      sb ++= s""",
+dm$k AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS m FROM r${k - 1} r LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL),
+c$k AS MATERIALIZED (SELECT e.dst AS id, SUM(r.pr * e.w / o.deg) AS s FROM $ew e JOIN r${k - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.id GROUP BY e.dst),
+r$k AS MATERIALIZED (SELECT v.id, (1.0 - $d)/nn.n + $d * (COALESCE(c.s, 0.0) + dm$k.m/nn.n) AS pr FROM $vv v CROSS JOIN nn CROSS JOIN dm$k LEFT JOIN c$k c ON v.id = c.id)"""
+    }
+    sb ++= s"\n$finalSelect"
+    sb.toString
+  }
+
   private def wpagerankSql(iters: Int, d: Double): String = {
     val sb = new StringBuilder
     val mat = bedgesSql.replaceFirst("AS", "AS MATERIALIZED")
     val matV = bvertsSql.replaceFirst("AS", "AS MATERIALIZED")
     sb ++= s"WITH $mat,\n$matV,\n"
     sb ++= "bw AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 7 + 1 AS DOUBLE) AS w FROM bedges),\n"
-    sb ++= "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bverts),\n"
-    sb ++= "outdeg AS MATERIALIZED (SELECT src AS id, SUM(w) AS deg FROM bw GROUP BY src),\n"
-    sb ++= "r0 AS MATERIALIZED (SELECT v.id, 1.0/nn.n AS pr FROM bverts v CROSS JOIN nn)"
-    for (k <- 1 to iters) {
-      sb ++= s""",
-dm$k AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS m FROM r${k - 1} r LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL),
-c$k AS MATERIALIZED (SELECT e.dst AS id, SUM(r.pr * e.w / o.deg) AS s FROM bw e JOIN r${k - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.id GROUP BY e.dst),
-r$k AS MATERIALIZED (SELECT v.id, (1.0 - $d)/nn.n + $d * (COALESCE(c.s, 0.0) + dm$k.m/nn.n) AS pr FROM bverts v CROSS JOIN nn CROSS JOIN dm$k LEFT JOIN c$k c ON v.id = c.id)"""
-    }
-    sb ++= s"\nSELECT id, ROUND(pr, 8) AS pr FROM r$iters"
-    sb.toString
+    prLoopSql(sb, "bw", "bverts", iters, d,
+      s"SELECT id, ROUND(pr, 8) AS pr FROM r$iters")
   }
 
   /** Fixed-iteration synchronous label propagation, mirroring
@@ -810,10 +814,10 @@ FROM bverts b LEFT JOIN bcp ON bcp.id = b.id"""
          |sym AS MATERIALIZED (SELECT a AS p, b AS q FROM und UNION ALL SELECT b AS p, a AS q FROM und),
          |deg AS MATERIALIZED (SELECT p AS id, COUNT(*) AS deg FROM sym GROUP BY p),
          |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(dj.deg) AS BIGINT) AS sj, CAST(SUM(dk.deg) AS BIGINT) AS sk,
-         |    CAST(SUM(dj.deg * dk.deg) AS BIGINT) AS sjk,
-         |    CAST(SUM(dj.deg * dj.deg) AS BIGINT) AS sj2,
-         |    CAST(SUM(dk.deg * dk.deg) AS BIGINT) AS sk2
+         |    SUM(dj.deg) AS sj, SUM(dk.deg) AS sk,
+         |    SUM(dj.deg * dk.deg) AS sjk,
+         |    SUM(dj.deg * dj.deg) AS sj2,
+         |    SUM(dk.deg * dk.deg) AS sk2
          |  FROM sym s JOIN deg dj ON dj.id = s.p JOIN deg dk ON dk.id = s.q)
          |SELECT n,
          |  ROUND(CASE WHEN (CAST(n AS DOUBLE) * sj2 - CAST(sj AS DOUBLE) * sj) *
@@ -856,27 +860,16 @@ FROM bverts b LEFT JOIN bcp ON bcp.id = b.id"""
     // edge-level added/removed/persisted, aggregated per source host.
     ("g26_crawldiff", (s: SparkSession, dir: String) => {
       implicit val sp = s
-      val k = jsonGet(col("props"), "k").cast("long")
-      val base = t(dir, "events").select(col("event_id").as("c"), k.as("k"))
-        .select(
-          concat(lit("http://w"), col("k") % 7, lit(".h"), col("k") % 40,
-            lit(".example/p"), col("c") % 13).as("src"),
-          concat(lit("http://h"), (col("k") * 3 + col("c")) % 40,
-            lit(".example/q"), col("c") % 11).as("dst"),
-          col("k"), col("c"))
+      val base = uedges(dir)
       val snapA = base.where(col("k") % 5 =!= 0).select("src", "dst")
       val snapB = base.where((col("k") + col("c")) % 5 =!= 0)
         .select("src", "dst")
       graft.graphbuild.CrawlDiff.hostChurn(
         graft.graphbuild.CrawlDiff.edgeDiff(snapA, snapB))
     }, Some(
-      s"""WITH base AS MATERIALIZED (SELECT
-         |    'http://w' || (k%7) || '.h' || (k%40) || '.example/p' || (c%13) AS src,
-         |    'http://h' || ((k*3+c)%40) || '.example/q' || (c%11) AS dst, k, c
-         |  FROM (SELECT event_id AS c,
-         |        CAST(json_extract_string(props,'$$.k') AS BIGINT) AS k FROM events)),
-         |sa AS MATERIALIZED (SELECT DISTINCT src, dst FROM base WHERE k%5 <> 0),
-         |sb AS MATERIALIZED (SELECT DISTINCT src, dst FROM base WHERE (k+c)%5 <> 0),
+      s"""WITH ${uedgesSql.replaceFirst("AS", "AS MATERIALIZED")},
+         |sa AS MATERIALIZED (SELECT DISTINCT src, dst FROM uedges WHERE k%5 <> 0),
+         |sb AS MATERIALIZED (SELECT DISTINCT src, dst FROM uedges WHERE (k+c)%5 <> 0),
          |diff AS MATERIALIZED (SELECT COALESCE(sa.src, sb.src) AS src,
          |    CASE WHEN sa.src IS NOT NULL AND sb.src IS NOT NULL THEN 'persisted'
          |         WHEN sa.src IS NOT NULL THEN 'removed' ELSE 'added' END AS status

@@ -40,10 +40,15 @@ object GraphStats {
     und.select(col("a").as("p"), col("b").as("q"))
       .union(und.select(col("b").as("p"), col("a").as("q")))
 
+  /** Degrees off an already-derived undirected edge set — callers that
+    * hold `und` use this so the O(|E|) dedup aggregate is planned once
+    * per metric (exchange reuse would usually dedup the identical
+    * subtree anyway; sharing the reference guarantees it). */
+  private def degreesOf(und: DataFrame): DataFrame =
+    stubs(und).groupBy(col("p").as("id")).agg(count(lit(1)).as("deg"))
+
   /** Undirected simple degree per vertex: (id, deg). */
-  def degrees(edges: DataFrame): DataFrame =
-    stubs(undirected(edges))
-      .groupBy(col("p").as("id")).agg(count(lit(1)).as("deg"))
+  def degrees(edges: DataFrame): DataFrame = degreesOf(undirected(edges))
 
   /** Local clustering coefficient per vertex: (id, deg, triangles, cc),
     * cc rounded to 8dp (engine-portable float policy, same as PageRank's
@@ -72,7 +77,7 @@ object GraphStats {
     val ec = und.join(la, Seq("a")).join(lb, Seq("b"))
       .where(col("la") === col("lb"))
       .groupBy(col("la").as("label")).agg(count(lit(1)).as("ec"))
-    val dc = labels.join(degrees(edges), Seq("id"))
+    val dc = labels.join(degreesOf(und), Seq("id"))
       .groupBy(col("label")).agg(sum(col("deg")).as("dc"))
     val half = col("dc").cast("double") / (lit(2) * col("m"))
     dc.join(ec, Seq("label"), "left").na.fill(0L, Seq("ec"))
@@ -103,7 +108,7 @@ object GraphStats {
     val cut = cross.select(col("la").as("label"))
       .union(cross.select(col("lb").as("label")))
       .groupBy("label").agg(count(lit(1)).as("cut"))
-    val vol = labels.join(degrees(edges), Seq("id"))
+    val vol = labels.join(degreesOf(und), Seq("id"))
       .groupBy(col("label")).agg(sum(col("deg")).as("vol"))
     val denom = least(col("vol").cast("double"),
       lit(2) * col("m") - col("vol").cast("double"))
@@ -117,18 +122,22 @@ object GraphStats {
   /** Degree assortativity: one row (n, assortativity) where n = 2|E| stub
     * pairs and assortativity = Pearson r over (deg(p), deg(q)) of every
     * stub, 8dp; 0.0 when the variance product is degenerate (regular
-    * graphs). All six sums are exact BIGINT — the closed-form float
-    * evaluation at the end is order-independent. The degree table joins by
-    * key (never a broadcast hint: |V| scales with the graph). */
+    * graphs). The six sums ride DECIMAL(38,0) — Σ deg² over stubs is d³
+    * per degree-d vertex, which wraps a silent Long at hub degrees ≥ ~2²¹
+    * (routine on web graphs); decimal keeps them exact up to 10³⁸
+    * (Σ d² ≤ 2|E|·d²max ≈ 10³⁶ at the 10¹²-edge tier). The closed-form
+    * float evaluation at the end is order-independent. The degree table
+    * joins by key (never a broadcast hint: |V| scales with the graph). */
   def assortativity(edges: DataFrame): DataFrame = {
     val und = undirected(edges)
-    val deg = degrees(edges)
+    val deg = degreesOf(und)
     val dj = deg.select(col("id").as("p"), col("deg").as("j"))
     val dk = deg.select(col("id").as("q"), col("deg").as("k"))
+    val (j, k) = (col("j").cast("decimal(19,0)"), col("k").cast("decimal(19,0)"))
     val sums = stubs(und).join(dj, Seq("p")).join(dk, Seq("q"))
-      .agg(count(lit(1)).as("n"), sum(col("j")).as("sj"),
-        sum(col("k")).as("sk"), sum(col("j") * col("k")).as("sjk"),
-        sum(col("j") * col("j")).as("sj2"), sum(col("k") * col("k")).as("sk2"))
+      .agg(count(lit(1)).as("n"), sum(j).as("sj"),
+        sum(k).as("sk"), sum(j * k).as("sjk"),
+        sum(j * j).as("sj2"), sum(k * k).as("sk2"))
     val nD = col("n").cast("double")
     val denom = (nD * col("sj2") - col("sj").cast("double") * col("sj")) *
       (nD * col("sk2") - col("sk").cast("double") * col("sk"))

@@ -154,8 +154,20 @@ object Pipeline {
         .write.mode(SaveMode.Overwrite).parquet(s"$out/host_edges")
       val (he, hosts) = graft.graphbuild.HostGraph.withIds(
         spark.read.parquet(s"$out/host_edges"))
+      // checkpointed like the main stage, under its own run-id so the two
+      // stages' snapshot lineages never clobber each other
+      val hostStore = arg(args, "checkpoint").map { dir =>
+        val runId = arg(args, "run-id").getOrElse("pipeline") + "-host"
+        arg(args, "store").getOrElse("parquet") match {
+          case "snapshot" => new graft.checkpoint.SnapshotStore(dir, runId)
+          case _          => new ParquetStore(dir, runId)
+        }
+      }
+      val hostCfg = hostStore.map(s => Superstep.Config(partitions, 200, tol,
+        checkpointEvery = 5, store = Some(s), verbose = true,
+        asyncCheckpoint = args.contains("--async-ckpt")))
       val hpr = PageRank.run(he, PageRank.Params(tol = tol, maxIter = 200,
-        numPartitions = partitions, weightCol = Some("weight")))
+        numPartitions = partitions, weightCol = Some("weight")), hostCfg)
       hpr.state.join(hosts, Seq("id"))
         .select(col("host"), col("rank"))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/host_ranks")
