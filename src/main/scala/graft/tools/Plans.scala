@@ -12,7 +12,8 @@ object Plans {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("a1_agg_lineitem", "p1_project_flags", "j1_join_chain",
         "w1_latest_per_user", "d2_jaccard_pairs", "e1_knn_bruteforce",
-        "t2_quality")
+        "t2_quality", "g20_clustering", "g22_assortativity",
+        "g24_hostgraph", "g26_crawldiff")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
