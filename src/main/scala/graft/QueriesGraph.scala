@@ -100,15 +100,19 @@ object QueriesGraph {
       |        CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events))""".stripMargin
 
   /** Host contraction mirror: DISTINCT url pairs → last-two-label hosts →
-    * drop null/intra-host → count (HostGraph.contract's exact dataflow). */
-  private val hedgesSql =
-    """hedges AS (SELECT sh AS src_host, dh AS dst_host,
-      |    CAST(COUNT(*) AS BIGINT) AS weight FROM (
-      |  SELECT regexp_extract(regexp_extract(src,'^http://([^/]+)',1),'([^.]+\.[^.]+)$',1) AS sh,
-      |         regexp_extract(regexp_extract(dst,'^http://([^/]+)',1),'([^.]+\.[^.]+)$',1) AS dh
-      |  FROM (SELECT DISTINCT src, dst FROM uedges))
-      |  WHERE sh IS NOT NULL AND dh IS NOT NULL AND sh <> dh
-      |  GROUP BY sh, dh)""".stripMargin
+    * drop null/intra-host → count (HostGraph.contract's exact dataflow).
+    * Parameterized on the source CTE so snapshot slices (g27) reuse the
+    * ONE derivation instead of re-inlining it. */
+  private def hostContractSql(from: String, name: String): String =
+    s"""$name AS (SELECT sh AS src_host, dh AS dst_host,
+       |    CAST(COUNT(*) AS BIGINT) AS weight FROM (
+       |  SELECT regexp_extract(regexp_extract(src,'^http://([^/]+)',1),'([^.]+\\.[^.]+)$$',1) AS sh,
+       |         regexp_extract(regexp_extract(dst,'^http://([^/]+)',1),'([^.]+\\.[^.]+)$$',1) AS dh
+       |  FROM (SELECT DISTINCT src, dst FROM $from))
+       |  WHERE sh IS NOT NULL AND dh IS NOT NULL AND sh <> dh
+       |  GROUP BY sh, dh)""".stripMargin
+
+  private val hedgesSql = hostContractSql("uedges", "hedges")
 
   /** Weighted fixed-iteration PageRank over the contracted host graph,
     * keyed on host STRINGS (ids are internal to the Spark side — the
@@ -878,6 +882,34 @@ FROM bverts b LEFT JOIN bcp ON bcp.id = b.id"""
          |  CAST(SUM(CASE WHEN status='added' THEN 1 ELSE 0 END) AS BIGINT) AS added,
          |  CAST(SUM(CASE WHEN status='removed' THEN 1 ELSE 0 END) AS BIGINT) AS removed,
          |  CAST(SUM(CASE WHEN status='persisted' THEN 1 ELSE 0 END) AS BIGINT) AS persisted
-         |FROM diff GROUP BY 1""".stripMargin))
+         |FROM diff GROUP BY 1""".stripMargin)),
+
+    // Domain-graph evolution (CrawlDiff.contractedDiff): the same two
+    // snapshot slices as g26, each contracted to the host graph, diffed on
+    // the host pair with weight deltas — the monthly Common-Crawl
+    // domain-graph churn artifact. Mirror reuses the one contraction
+    // derivation (hostContractSql) per slice.
+    ("g27_hostdiff", (s: SparkSession, dir: String) => {
+      implicit val sp = s
+      val base = uedges(dir)
+      val snapA = base.where(col("k") % 5 =!= 0).select("src", "dst")
+      val snapB = base.where((col("k") + col("c")) % 5 =!= 0)
+        .select("src", "dst")
+      graft.graphbuild.CrawlDiff.contractedDiff(snapA, snapB)
+    }, Some(
+      s"""WITH ${uedgesSql.replaceFirst("AS", "AS MATERIALIZED")},
+         |sa AS MATERIALIZED (SELECT src, dst FROM uedges WHERE k%5 <> 0),
+         |sb AS MATERIALIZED (SELECT src, dst FROM uedges WHERE (k+c)%5 <> 0),
+         |${hostContractSql("sa", "ha").replaceFirst("AS", "AS MATERIALIZED")},
+         |${hostContractSql("sb", "hb").replaceFirst("AS", "AS MATERIALIZED")}
+         |SELECT COALESCE(ha.src_host, hb.src_host) AS src_host,
+         |  COALESCE(ha.dst_host, hb.dst_host) AS dst_host,
+         |  CAST(COALESCE(ha.weight, 0) AS BIGINT) AS w_a,
+         |  CAST(COALESCE(hb.weight, 0) AS BIGINT) AS w_b,
+         |  CAST(COALESCE(hb.weight, 0) - COALESCE(ha.weight, 0) AS BIGINT) AS delta,
+         |  CASE WHEN ha.weight IS NOT NULL AND hb.weight IS NOT NULL THEN 'persisted'
+         |       WHEN ha.weight IS NOT NULL THEN 'removed' ELSE 'added' END AS status
+         |FROM ha FULL OUTER JOIN hb
+         |  ON ha.src_host = hb.src_host AND ha.dst_host = hb.dst_host""".stripMargin))
   )
 }

@@ -32,6 +32,37 @@ object CrawlDiff {
           .otherwise("added").as("status"))
   }
 
+  /** Host-level churn of link WEIGHT between two crawl snapshots — the
+    * evolution of the contracted domain graph (the artifact Common Crawl
+    * publishes per monthly crawl): each snapshot's url edges are contracted
+    * with [[HostGraph.contract]] (dedup → eTLD+1 pairs → multiplicity), then
+    * the two host graphs full-outer join on the host pair. One row per host
+    * pair present in either snapshot:
+    * (src_host, dst_host, w_a, w_b, delta, status) with delta = w_b − w_a
+    * and status ∈ added | removed | persisted (a persisted pair can still
+    * gain/lose weight — that's the delta).
+    *
+    * Scale shape: two contractions (each = the two algebraic aggregates of
+    * [[HostGraph.contract]], map-side combined over the full url-edge
+    * volume) and ONE full-outer join on (src_host, dst_host) over the
+    * already-contracted (domain-cardinality, 10⁷-ish) tables — the join is
+    * tiny relative to the scans feeding it. */
+  def contractedDiff(a: DataFrame, b: DataFrame,
+                     hostExpr: Column => Column = HostGraph.defaultHost)
+  : DataFrame = {
+    val ca = HostGraph.contract(a, hostExpr).withColumnRenamed("weight", "w_a")
+    val cb = HostGraph.contract(b, hostExpr).withColumnRenamed("weight", "w_b")
+    ca.join(cb, Seq("src_host", "dst_host"), "full_outer")
+      .select(col("src_host"), col("dst_host"),
+        coalesce(col("w_a"), lit(0L)).as("w_a"),
+        coalesce(col("w_b"), lit(0L)).as("w_b"),
+        (coalesce(col("w_b"), lit(0L)) - coalesce(col("w_a"), lit(0L)))
+          .as("delta"),
+        when(col("w_a").isNotNull && col("w_b").isNotNull, "persisted")
+          .when(col("w_a").isNotNull, "removed")
+          .otherwise("added").as("status"))
+  }
+
   /** Per-host churn of an [[edgeDiff]] table, keyed by the SOURCE host
     * (the page doing the linking): (host, added, removed, persisted).
     * Hosts via `hostExpr` (default eTLD+1); null hosts dropped. */

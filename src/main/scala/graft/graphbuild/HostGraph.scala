@@ -67,4 +67,41 @@ object HostGraph {
       col("weight"))
     (edges, hosts)
   }
+
+  /** Weighted PageRank over an already-contracted host-edge table
+    * (src_host, dst_host, weight) — optionally INCREMENTAL: pass the
+    * previous crawl's converged (host, rank) table and the superstep loop
+    * warm-starts from it (hosts new to this snapshot get 1/N, mass
+    * renormalizes to 1 — PageRank.run's warmStart contract). At
+    * Common-Crawl cadence the month-over-month domain graph churns a few
+    * percent, so the warm state already sits near the new fixpoint and
+    * convergence takes a fraction of the cold supersteps: re-ranking cost
+    * tracks the CHURN, not the corpus. Host→id mapping is the same
+    * content-derived xxhash64 as [[withIds]], so the previous ranks join by
+    * recomputing it — no id table needs to survive between crawls.
+    * @return (ranks(host, rank), supersteps taken) */
+  def rankContracted(hostEdges: DataFrame,
+                     prevRanks: Option[DataFrame] = None,
+                     p: graft.algo.PageRank.Params =
+                       graft.algo.PageRank.Params(weightCol = Some("weight")),
+                     cfg: Option[graft.algo.Superstep.Config] = None)
+  : (DataFrame, Int) = {
+    val (e, hosts) = withIds(hostEdges)
+    val warm = prevRanks.map(pr =>
+      pr.select(xxhash64(col("host")).as("id"), col("rank")))
+    val res = graft.algo.PageRank.run(e, p, cfg, warmStart = warm)
+    (res.state.join(hosts, Seq("id")).select(col("host"), col("rank")),
+      res.steps)
+  }
+
+  /** [[contract]] + [[rankContracted]] in one call: url edges in, ranked
+    * hosts out (the full Common-Crawl domain-ranking job, incrementally
+    * warm-startable across snapshots). */
+  def rankHosts(urlEdges: DataFrame,
+                prevRanks: Option[DataFrame] = None,
+                p: graft.algo.PageRank.Params =
+                  graft.algo.PageRank.Params(weightCol = Some("weight")),
+                cfg: Option[graft.algo.Superstep.Config] = None,
+                hostExpr: Column => Column = defaultHost): (DataFrame, Int) =
+    rankContracted(contract(urlEdges, hostExpr), prevRanks, p, cfg)
 }

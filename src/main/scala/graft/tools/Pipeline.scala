@@ -16,6 +16,8 @@ import graft.model.Page
   *     --out <dir>  [--partitions N] [--tol 1e-6] [--checkpoint <dir>] \
   *     [--run-id <id>] [--store parquet|snapshot] [--expire-keep K] \
   *     [--async-ckpt] [--bucket-edges] [--host-graph]
+  *     [--prev-host-ranks <parquet>]  (warm-start host ranking from a
+  *                                     previous crawl's host_ranks table)
   *
   * Stages (each written as parquet under --out; resumable through
   * --checkpoint + --run-id mid-PageRank):
@@ -152,8 +154,6 @@ object Pipeline {
         .select(col("src"), col("dst"))
       graft.graphbuild.HostGraph.contract(urlEdges)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/host_edges")
-      val (he, hosts) = graft.graphbuild.HostGraph.withIds(
-        spark.read.parquet(s"$out/host_edges"))
       // checkpointed like the main stage, under its own run-id so the two
       // stages' snapshot lineages never clobber each other
       val hostStore = arg(args, "checkpoint").map { dir =>
@@ -166,13 +166,21 @@ object Pipeline {
       val hostCfg = hostStore.map(s => Superstep.Config(partitions, 200, tol,
         checkpointEvery = 5, store = Some(s), verbose = true,
         asyncCheckpoint = args.contains("--async-ckpt")))
-      val hpr = PageRank.run(he, PageRank.Params(tol = tol, maxIter = 200,
-        numPartitions = partitions, weightCol = Some("weight")), hostCfg)
-      hpr.state.join(hosts, Seq("id"))
-        .select(col("host"), col("rank"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/host_ranks")
+      // --prev-host-ranks PATH: warm-start from a previous crawl's
+      // converged host_ranks table (incremental re-crawl ranking —
+      // HostGraph.rankContracted scaladoc). The read is eager so a caller
+      // pointing it at THIS run's output path can't race the overwrite.
+      val prev = arg(args, "prev-host-ranks").map(pth =>
+        spark.read.parquet(pth).localCheckpoint(true))
+      val (hostRanks, hprSteps) = graft.graphbuild.HostGraph.rankContracted(
+        spark.read.parquet(s"$out/host_edges"), prev,
+        PageRank.Params(tol = tol, maxIter = 200,
+          numPartitions = partitions, weightCol = Some("weight")), hostCfg)
+      hostRanks.write.mode(SaveMode.Overwrite).parquet(s"$out/host_ranks")
+      prev.foreach(graft.core.Checkpoints.release)
       println(s"host graph -> $out/host_edges, host_ranks " +
-        s"(pr_steps=${hpr.steps})")
+        s"(pr_steps=$hprSteps" +
+        prev.map(_ => ", warm-started").getOrElse("") + ")")
     }
     mem.finish()
     // every plan over the bucketed read is materialized by now — undo the

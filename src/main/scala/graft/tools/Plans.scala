@@ -13,7 +13,7 @@ object Plans {
       else Seq("a1_agg_lineitem", "p1_project_flags", "j1_join_chain",
         "w1_latest_per_user", "d2_jaccard_pairs", "e1_knn_bruteforce",
         "t2_quality", "g20_clustering", "g22_assortativity",
-        "g24_hostgraph", "g26_crawldiff")
+        "g24_hostgraph", "g26_crawldiff", "g27_hostdiff")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

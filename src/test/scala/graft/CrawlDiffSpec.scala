@@ -42,4 +42,27 @@ class CrawlDiffSpec extends AnyFunSuite {
       "a.com" -> ((1L, 1L, 1L)),   // added /9, removed /2, persisted /1
       "d.com" -> ((0L, 1L, 0L))))  // www.d.com collapses to d.com
   }
+
+  test("contractedDiff tracks host-pair weight deltas across snapshots") {
+    // Snapshot A: a.com→b.com weight 2 (two distinct url links, one dup
+    // that must NOT count), a.com→c.com weight 1.
+    val a = Seq(
+      ("http://a.com/1", "http://b.com/x"),
+      ("http://a.com/2", "http://b.com/y"),
+      ("http://a.com/2", "http://b.com/y"),   // url-level dup: weight stays 2
+      ("http://a.com/1", "http://c.com/z")).toDF("src", "dst")
+    // Snapshot B: a.com→b.com shrinks to weight 1 (persisted, delta −1),
+    // a.com→c.com gone (removed), e.co.uk→a.com new (added; real-PSL host).
+    val b = Seq(
+      ("http://a.com/1", "http://b.com/x"),
+      ("http://sub.e.co.uk/p", "http://a.com/3")).toDF("src", "dst")
+    val got = CrawlDiff.contractedDiff(a, b).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(got == Map(
+      ("a.com", "b.com") -> ((2L, 1L, -1L, "persisted")),
+      ("a.com", "c.com") -> ((1L, 0L, -1L, "removed")),
+      ("e.co.uk", "a.com") -> ((0L, 1L, 1L, "added"))))
+  }
 }

@@ -51,6 +51,46 @@ class HostGraphSpec extends AnyFunSuite {
     assert(h1.collect().toSet == h2.collect().toSet)
   }
 
+  test("rankHosts warm-started from the previous snapshot converges in " +
+      "fewer supersteps to the same ranks") {
+    import org.apache.spark.sql.functions._
+    // Hub-and-chain host graph in unknown-TLD space (etld1 ⇒ h<i>.example):
+    // every host links the hub h0, h0 links back to every 7th — cold-start
+    // PageRank moves a lot of mass onto the hub, so uniform init starts far
+    // from the fixpoint while the previous snapshot's ranks start close.
+    def urls(edges: Seq[(Int, Int)]) =
+      edges.zipWithIndex.map { case ((a, b), i) =>
+        (s"http://h$a.example/p${i % 3}", s"http://h$b.example/q") }
+        .toDF("src", "dst")
+    val n = 40
+    val base = (0 until n - 1).map(i => (i, i + 1)) ++
+      (1 until n).map(i => (i, 0)) ++
+      (0 until n by 7).map(i => (0, i)) // (0,0) intra-host: dropped
+    // snapshot B: small churn — two links rot, three appear, ONE NEW HOST
+    // (h40 exercises the warm path's new-vertex 1/N + renormalize contract)
+    val snapB = base.filterNot(e => e == ((5, 6)) || e == ((11, 0))) ++
+      Seq((3, 40), (40, 7), (12, 19))
+    val p = graft.algo.PageRank.Params(tol = 1e-4, maxIter = 300,
+      numPartitions = 4, weightCol = Some("weight"))
+    val (ranksA, _) = HostGraph.rankHosts(urls(base), None, p)
+    val prevA = ranksA.localCheckpoint(true)
+    graft.core.Checkpoints.releaseLeaves(ranksA)
+    val (coldB0, coldSteps) = HostGraph.rankHosts(urls(snapB), None, p)
+    val (warmB0, warmSteps) = HostGraph.rankHosts(urls(snapB), Some(prevA), p)
+    val coldB = coldB0.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val warmB = warmB0.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.core.Checkpoints.releaseLeaves(coldB0)
+    graft.core.Checkpoints.releaseLeaves(warmB0)
+    graft.core.Checkpoints.release(prevA)
+    assert(warmSteps < coldSteps,
+      s"warm start took $warmSteps supersteps vs cold $coldSteps")
+    assert(coldB.keySet == warmB.keySet && coldB.contains("h40.example"))
+    // both runs sit at the same fixpoint (within the loop's own tolerance
+    // amplified by 1/(1-d) — the standard PageRank error bound)
+    val maxDiff = coldB.map { case (h, r) => math.abs(r - warmB(h)) }.max
+    assert(maxDiff < 2e-3, s"max rank divergence $maxDiff")
+  }
+
   test("custom host rule is pluggable (raw authority)") {
     import org.apache.spark.sql.functions._
     val got = HostGraph.contract(urls.toDF("src", "dst"),
