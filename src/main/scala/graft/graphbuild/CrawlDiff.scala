@@ -49,9 +49,18 @@ object CrawlDiff {
     * tiny relative to the scans feeding it. */
   def contractedDiff(a: DataFrame, b: DataFrame,
                      hostExpr: Column => Column = HostGraph.defaultHost)
-  : DataFrame = {
-    val ca = HostGraph.contract(a, hostExpr).withColumnRenamed("weight", "w_a")
-    val cb = HostGraph.contract(b, hostExpr).withColumnRenamed("weight", "w_b")
+  : DataFrame =
+    diffContracted(HostGraph.contract(a, hostExpr),
+      HostGraph.contract(b, hostExpr))
+
+  /** The host-pair diff core of [[contractedDiff]], over two ALREADY
+    * contracted (src_host, dst_host, weight) tables — for callers that
+    * hold the contractions anyway (ranking reuses them; re-contracting
+    * would re-scan the full url-edge volume). One classification home:
+    * edge-level status lives in [[edgeDiff]], host-level here. */
+  def diffContracted(ca0: DataFrame, cb0: DataFrame): DataFrame = {
+    val ca = ca0.withColumnRenamed("weight", "w_a")
+    val cb = cb0.withColumnRenamed("weight", "w_b")
     ca.join(cb, Seq("src_host", "dst_host"), "full_outer")
       .select(col("src_host"), col("dst_host"),
         coalesce(col("w_a"), lit(0L)).as("w_a"),

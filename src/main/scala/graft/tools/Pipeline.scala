@@ -154,10 +154,32 @@ object Pipeline {
         .select(col("src"), col("dst"))
       graft.graphbuild.HostGraph.contract(urlEdges)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/host_edges")
+      // --prev-host-ranks PATH: warm-start from a previous crawl's
+      // converged host_ranks table (incremental re-crawl ranking —
+      // HostGraph.rankContracted scaladoc). The read is eager so a caller
+      // pointing it at THIS run's output path can't race the overwrite.
+      val prev = arg(args, "prev-host-ranks").map(pth =>
+        spark.read.parquet(pth).localCheckpoint(true))
+      // Warm-start content signature folded into the lineage id: without
+      // it, a reused --checkpoint dir holding LAST crawl's CONVERGED host
+      // snapshot under the same run-id would make Superstep RESUME from
+      // the stale state — old vertex set, stale degrees — and silently
+      // ignore the warm init. Content-keyed (not path-keyed: the path is
+      // typically constant month over month), so a crashed invocation
+      // still resumes (same prev content ⇒ same id) while a new crawl's
+      // warm source opens a fresh lineage.
+      val warmSig = prev.map { df =>
+        // bit_xor: order-independent and overflow-free (a 64-bit SUM of
+        // row hashes overflows and throws under ANSI mode)
+        val h = df.select(xxhash64(col("host"), col("rank")).as("h"))
+          .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+        f"-warm$h%016x"
+      }.getOrElse("")
       // checkpointed like the main stage, under its own run-id so the two
       // stages' snapshot lineages never clobber each other
       val hostStore = arg(args, "checkpoint").map { dir =>
-        val runId = arg(args, "run-id").getOrElse("pipeline") + "-host"
+        val runId = arg(args, "run-id").getOrElse("pipeline") + "-host" +
+          warmSig
         arg(args, "store").getOrElse("parquet") match {
           case "snapshot" => new graft.checkpoint.SnapshotStore(dir, runId)
           case _          => new ParquetStore(dir, runId)
@@ -166,12 +188,6 @@ object Pipeline {
       val hostCfg = hostStore.map(s => Superstep.Config(partitions, 200, tol,
         checkpointEvery = 5, store = Some(s), verbose = true,
         asyncCheckpoint = args.contains("--async-ckpt")))
-      // --prev-host-ranks PATH: warm-start from a previous crawl's
-      // converged host_ranks table (incremental re-crawl ranking —
-      // HostGraph.rankContracted scaladoc). The read is eager so a caller
-      // pointing it at THIS run's output path can't race the overwrite.
-      val prev = arg(args, "prev-host-ranks").map(pth =>
-        spark.read.parquet(pth).localCheckpoint(true))
       val (hostRanks, hprSteps) = graft.graphbuild.HostGraph.rankContracted(
         spark.read.parquet(s"$out/host_edges"), prev,
         PageRank.Params(tol = tol, maxIter = 200,

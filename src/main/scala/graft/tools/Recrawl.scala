@@ -74,19 +74,12 @@ object Recrawl {
     val ha = HostGraph.contract(snapA).localCheckpoint(true)
     val hb = HostGraph.contract(snapB).localCheckpoint(true)
 
-    // churn profile at host level (the g27 operator over the same pair) —
-    // contractedDiff re-contracts internally, so diff the contracted tables
-    // directly with the same full-outer shape via a tiny local mirror:
-    val diff = ha.withColumnRenamed("weight", "w_a")
-      .join(hb.withColumnRenamed("weight", "w_b"),
-        Seq("src_host", "dst_host"), "full_outer")
-    val profile = diff.agg(
-      sum(when(col("w_a").isNotNull && col("w_b").isNotNull, 1L)
-        .otherwise(0L)).as("persisted"),
-      sum(when(col("w_a").isNotNull && col("w_b").isNull, 1L)
-        .otherwise(0L)).as("removed"),
-      sum(when(col("w_a").isNull, 1L).otherwise(0L)).as("added")
-    ).collect()(0)
+    // churn profile at host level — the real g27 operator core over the
+    // contracted tables the rank runs reuse
+    val profile = CrawlDiff.diffContracted(ha, hb)
+      .groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
 
     val p = graft.algo.PageRank.Params(tol = tol, maxIter = 200,
       numPartitions = cores, weightCol = Some("weight"))
@@ -120,9 +113,9 @@ object Recrawl {
       s""""cores":$cores,"url_edges_a":${counts(0)},""" +
       s""""url_edges_b":${counts(1)},"host_edges_a":${counts(2)},""" +
       s""""host_edges_b":${counts(3)},"hosts_b":$hostsB,""" +
-      s""""host_pairs_persisted":${profile.getLong(0)},""" +
-      s""""host_pairs_removed":${profile.getLong(1)},""" +
-      s""""host_pairs_added":${profile.getLong(2)},""" +
+      s""""host_pairs_persisted":${profile("persisted")},""" +
+      s""""host_pairs_removed":${profile("removed")},""" +
+      s""""host_pairs_added":${profile("added")},""" +
       f""""cold_a":{"steps":$stepsA,"sec":$secA%.1f},""" +
       f""""cold_b":{"steps":$stepsCold,"sec":$secCold%.1f},""" +
       f""""warm_b":{"steps":$stepsWarm,"sec":$secWarm%.1f},""" +
