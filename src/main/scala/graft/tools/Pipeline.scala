@@ -18,6 +18,9 @@ import graft.model.Page
   *     [--async-ckpt] [--bucket-edges] [--host-graph]
   *     [--prev-host-ranks <parquet>]  (warm-start host ranking from a
   *                                     previous crawl's host_ranks table)
+  *     [--prev-host-edges <parquet>]  (also write host_churn/ — the
+  *                                     domain-graph diff vs the previous
+  *                                     crawl's host_edges table)
   *
   * Stages (each written as parquet under --out; resumable through
   * --checkpoint + --run-id mid-PageRank):
@@ -152,6 +155,11 @@ object Pipeline {
       mem.phase("hostgraph")
       val urlEdges = spark.read.parquet(s"$out/edges")
         .select(col("src"), col("dst"))
+      // --prev-host-edges PATH: read EAGERLY before the contraction
+      // overwrite below — the re-crawl caller typically points it at this
+      // very out dir's last-month host_edges
+      val prevEdges = arg(args, "prev-host-edges").map(pth =>
+        spark.read.parquet(pth).localCheckpoint(true))
       graft.graphbuild.HostGraph.contract(urlEdges)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/host_edges")
       // --prev-host-ranks PATH: warm-start from a previous crawl's
@@ -194,8 +202,17 @@ object Pipeline {
           numPartitions = partitions, weightCol = Some("weight")), hostCfg)
       hostRanks.write.mode(SaveMode.Overwrite).parquet(s"$out/host_ranks")
       prev.foreach(graft.core.Checkpoints.release)
-      println(s"host graph -> $out/host_edges, host_ranks " +
-        s"(pr_steps=$hprSteps" +
+      // domain-graph churn vs the previous crawl's host_edges
+      // (CrawlDiff.diffContracted — the g27 operator) → host_churn/
+      prevEdges.foreach { pe =>
+        graft.graphbuild.CrawlDiff
+          .diffContracted(pe, spark.read.parquet(s"$out/host_edges"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/host_churn")
+        graft.core.Checkpoints.release(pe)
+      }
+      println(s"host graph -> $out/host_edges, host_ranks" +
+        prevEdges.map(_ => ", host_churn").getOrElse("") +
+        s" (pr_steps=$hprSteps" +
         prev.map(_ => ", warm-started").getOrElse("") + ")")
     }
     mem.finish()
