@@ -32,6 +32,9 @@ import graft.model.Page
   *   labels/     (id, label) label propagation
   *   triangles/  (id, triangles) exact per-vertex counts
   *   metrics.json  superstep metrics (steps, measures, seconds)
+  *   with --host-graph: host_edges/ host_ranks/ host_langs/ (per-host
+  *   language mix off the input_hint `lang` column) and, with
+  *   --prev-host-edges, host_churn/
   *
   * When --pages is omitted a deterministic synthetic corpus is generated
   * (--sites/--pps), satisfying the no-external-data rule for local runs.
@@ -210,7 +213,16 @@ object Pipeline {
           .write.mode(SaveMode.Overwrite).parquet(s"$out/host_churn")
         graft.core.Checkpoints.release(pe)
       }
-      println(s"host graph -> $out/host_edges, host_ranks" +
+      // per-host language mix off the input_hint `lang` column (the
+      // Common-Crawl-style per-crawl language annotation rollup):
+      // one algebraic (host, lang) count, map-side combined — host_langs/
+      graft.ext.GraftExtensions.register(spark)
+      pages.toDF()
+        .select(call_function("etld1", col("url")).as("host"), col("lang"))
+        .where(col("host").isNotNull)
+        .groupBy("host", "lang").agg(count(lit(1)).as("docs"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/host_langs")
+      println(s"host graph -> $out/host_edges, host_ranks, host_langs" +
         prevEdges.map(_ => ", host_churn").getOrElse("") +
         s" (pr_steps=$hprSteps" +
         prev.map(_ => ", warm-started").getOrElse("") + ")")
