@@ -163,8 +163,23 @@ object Pipeline {
       // very out dir's last-month host_edges
       val prevEdges = arg(args, "prev-host-edges").map(pth =>
         spark.read.parquet(pth).localCheckpoint(true))
-      graft.graphbuild.HostGraph.contract(urlEdges)
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/host_edges")
+      // this run's contraction, materialized ONCE — feeds the churn diff,
+      // the durable host_edges write, and the rank run below
+      val hostEdges = graft.graphbuild.HostGraph.contract(urlEdges)
+        .localCheckpoint(true)
+      // domain-graph churn vs the previous crawl (CrawlDiff.diffContracted
+      // — the g27 operator) → host_churn/. Written BEFORE host_edges is
+      // overwritten: a crash anywhere up to that overwrite leaves last
+      // month's table intact on disk, so the re-run reproduces the same
+      // churn instead of silently diffing the new crawl against itself —
+      // and the prev checkpoint releases before the rank supersteps start
+      // instead of pinning executor storage across them.
+      prevEdges.foreach { pe =>
+        graft.graphbuild.CrawlDiff.diffContracted(pe, hostEdges)
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/host_churn")
+        graft.core.Checkpoints.release(pe)
+      }
+      hostEdges.write.mode(SaveMode.Overwrite).parquet(s"$out/host_edges")
       // --prev-host-ranks PATH: warm-start from a previous crawl's
       // converged host_ranks table (incremental re-crawl ranking —
       // HostGraph.rankContracted scaladoc). The read is eager so a caller
@@ -200,27 +215,24 @@ object Pipeline {
         checkpointEvery = 5, store = Some(s), verbose = true,
         asyncCheckpoint = args.contains("--async-ckpt")))
       val (hostRanks, hprSteps) = graft.graphbuild.HostGraph.rankContracted(
-        spark.read.parquet(s"$out/host_edges"), prev,
+        hostEdges, prev,
         PageRank.Params(tol = tol, maxIter = 200,
           numPartitions = partitions, weightCol = Some("weight")), hostCfg)
       hostRanks.write.mode(SaveMode.Overwrite).parquet(s"$out/host_ranks")
       prev.foreach(graft.core.Checkpoints.release)
-      // domain-graph churn vs the previous crawl's host_edges
-      // (CrawlDiff.diffContracted — the g27 operator) → host_churn/
-      prevEdges.foreach { pe =>
-        graft.graphbuild.CrawlDiff
-          .diffContracted(pe, spark.read.parquet(s"$out/host_edges"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$out/host_churn")
-        graft.core.Checkpoints.release(pe)
-      }
+      graft.core.Checkpoints.release(hostEdges)
       // per-host language mix off the input_hint `lang` column (the
-      // Common-Crawl-style per-crawl language annotation rollup):
-      // one algebraic (host, lang) count, map-side combined — host_langs/
-      graft.ext.GraftExtensions.register(spark)
+      // Common-Crawl-style per-crawl language annotation rollup): distinct
+      // urls per (host, lang) — the dedup-first convention host_edges
+      // weights follow (a re-crawled url is one doc, not two). On the
+      // --pages parquet path this is a url+lang-pruned scan; on the
+      // synthetic path it deterministically regenerates pages (the
+      // generator streams whole Page rows — pruning can't reach inside it).
       pages.toDF()
-        .select(call_function("etld1", col("url")).as("host"), col("lang"))
+        .select(graft.graphbuild.HostGraph.defaultHost(col("url"))
+          .as("host"), col("lang"), col("url"))
         .where(col("host").isNotNull)
-        .groupBy("host", "lang").agg(count(lit(1)).as("docs"))
+        .groupBy("host", "lang").agg(countDistinct(col("url")).as("docs"))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/host_langs")
       println(s"host graph -> $out/host_edges, host_ranks, host_langs" +
         prevEdges.map(_ => ", host_churn").getOrElse("") +
