@@ -196,9 +196,12 @@ object Pipeline {
       // warm source opens a fresh lineage.
       val warmSig = prev.map { df =>
         // bit_xor: order-independent and overflow-free (a 64-bit SUM of
-        // row hashes overflows and throws under ANSI mode)
+        // row hashes overflows and throws under ANSI mode); coalesce
+        // because an EMPTY prev table (first-month bootstrap) aggregates
+        // to null and a bare getLong would throw
         val h = df.select(xxhash64(col("host"), col("rank")).as("h"))
-          .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+          .agg(coalesce(expr("bit_xor(h)"), lit(0L)))
+          .collect()(0).getLong(0)
         f"-warm$h%016x"
       }.getOrElse("")
       // checkpointed like the main stage, under its own run-id so the two
