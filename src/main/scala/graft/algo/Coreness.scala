@@ -22,14 +22,25 @@ import org.apache.spark.sql.functions._
   * — the superstep shape this engine already pins for PageRank/CC (no
   * shrinking-graph bookkeeping, no global ordering).
   *
-  * H is computed as max over neighbors of min(rank, value) with values
-  * sorted descending — order-independent for tied values, so ANY engine
-  * computing the same formula agrees bit-for-bit (integers throughout);
-  * that is what makes the DuckDB oracle mirror exact (QueriesGraph
-  * `g13_kcore`). Scale note: the rank is a per-destination window (one
-  * shuffle per step, same key as the aggregate); at hub-skew scale the
-  * identical H can be computed from a count-histogram aggregate instead —
-  * the window form is kept because it is the formula the oracle unrolls.
+  * H has two algebraically identical forms (CorenessSpec pins ≡ on random
+  * graphs; integers throughout, so ANY engine computing either formula
+  * agrees bit-for-bit — what makes the DuckDB oracle mirror exact,
+  * QueriesGraph `g13_kcore`):
+  *
+  *  - window form (`histogram = false`): max over neighbors of
+  *    min(rank, value) with values sorted descending — the formula the
+  *    oracle unrolls, but the per-destination rank window puts a hub's
+  *    ENTIRE neighbor-value list into one window partition every superstep
+  *    (a 10⁷-degree hub = a per-round skewed-key sort/spill);
+  *  - histogram form (`histogram = true`, the default/scale path): first
+  *    collapse neighbor values to per-(dst, value) COUNTS — a hash
+  *    aggregate with map-side combine, so the hub's 10⁷ rows shrink to at
+  *    most #distinct-values ≤ maxCore+1 = O(√m) rows BEFORE the shuffle —
+  *    then a cumulative count over the distinct values descending gives
+  *    ccnt(val) = #{neighbors ≥ val} and H = max(min(ccnt, val)): within a
+  *    tied-value block min(rank, value) is maximal at the block's last
+  *    rank, which IS the cumulative count, so the two maxima coincide.
+  *    The residual window sorts distinct values only (bounded rows/key).
   *
   * Fixpoint/cap equivalence: if the sequence fixes at step t ≤ maxIter,
   * all later steps are identities, so "run to fixpoint capped at K" and
@@ -38,11 +49,16 @@ import org.apache.spark.sql.functions._
   */
 object Coreness {
 
-  /** @param edges DataFrame(src: long, dst: long) — symmetrized internally;
-    *              self-loops dropped (simple-graph semantics).
+  /** @param edges     DataFrame(src: long, dst: long) — symmetrized
+    *                   internally; self-loops dropped (simple-graph
+    *                   semantics).
+    * @param histogram  h-index form per superstep: count-histogram (true,
+    *                   default — the hub-safe scale path) or the direct
+    *                   rank window (false — the oracle formula). Identical
+    *                   output (scaladoc above; CorenessSpec).
     * @return DataFrame(id: long, core: int) */
   def run(edges: DataFrame, numPartitions: Int = 32,
-          maxIter: Int = 64): DataFrame = {
+          maxIter: Int = 64, histogram: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     val P = numPartitions
 
@@ -64,14 +80,24 @@ object Coreness {
       val nb = sym.join(state.select(col("id"), col("core").as("cv")),
         sym("src") === col("id"))
         .select(col("dst"), col("cv"))
-      val h = nb
-        .withColumn("rn",
-          // rank order among TIED cv values is immaterial: the h-index
-          // max(min(rn, cv)) is invariant under permuting equal values
-          row_number().over(Window.partitionBy(col("dst"))
-            .orderBy(col("cv").desc)))
-        .groupBy(col("dst"))
-        .agg(max(least(col("rn"), col("cv"))).cast("int").as("hcore"))
+      val h =
+        if (histogram) {
+          // hub-safe: collapse to per-(dst, value) counts first (map-side
+          // combined), then cumulate over the ≤ O(√m) distinct values
+          nb.groupBy(col("dst"), col("cv")).agg(count(lit(1)).as("c"))
+            .withColumn("ccnt", sum(col("c")).over(
+              Window.partitionBy(col("dst")).orderBy(col("cv").desc)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .groupBy(col("dst"))
+            .agg(max(least(col("ccnt"), col("cv"))).cast("int").as("hcore"))
+        } else nb
+          .withColumn("rn",
+            // rank order among TIED cv values is immaterial: the h-index
+            // max(min(rn, cv)) is invariant under permuting equal values
+            row_number().over(Window.partitionBy(col("dst"))
+              .orderBy(col("cv").desc)))
+          .groupBy(col("dst"))
+          .agg(max(least(col("rn"), col("cv"))).cast("int").as("hcore"))
       // every vertex has ≥1 neighbor (vertices are edge-derived), so the
       // inner join is total
       state.select(col("id"), col("core").as("old"))

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * Shape: ONE wedge self-join of the symmetrized adjacency on the shared
   * neighbor z (a < b orients each candidate pair once), partially
   * aggregated map-side into (pair → cn, aa), then an anti-join against the
-  * existing edge set and a broadcast degree lookup for Jaccard. Work is
+  * existing edge set and a vertex-keyed degree join for Jaccard (|V|-sized
+  * tables are never broadcast-hinted — AQE may still do so when a side is
+  * genuinely small; the GraphStats rule). Work is
   * Σ_z deg(z)² — the standard wedge bound; at hub scale the caller caps it
   * by pre-filtering z with `maxDegree` (a hub shared by everything scores
   * ~0 AA anyway, the reason the cap is standard practice at corpus scale).
@@ -45,9 +47,13 @@ object LinkPrediction {
     val deg = sym.groupBy(col("z").as("id")).agg(count(lit(1)).as("deg"))
 
     val hub = if (maxDegree > 0) deg.where(col("deg") <= maxDegree) else deg
-    // adjacency annotated with the shared neighbor's degree (broadcast-able
-    // dimension at any scale: one row per vertex)
-    val adj = sym.join(broadcast(hub), sym("z") === hub("id"))
+    // adjacency annotated with the shared neighbor's degree. The degree
+    // table is ONE ROW PER VERTEX — it scales with the graph, so it joins
+    // by key like every |V|-sized table in this package (GraphStats rule;
+    // never a broadcast hint: at 10^12 vertices a forced broadcast bypasses
+    // AQE's size check and OOMs). AQE still broadcasts a genuinely small
+    // side at runtime on its own evidence.
+    val adj = sym.join(hub, sym("z") === hub("id"))
       .select(col("z"), col("n"), col("deg"))
 
     val a1 = adj.select(col("z"), col("n").as("a"), col("deg"))
@@ -63,8 +69,8 @@ object LinkPrediction {
     val dega = deg.select(col("id").as("a"), col("deg").as("dega"))
     val degb = deg.select(col("id").as("b"), col("deg").as("degb"))
     val scored = nonEdge
-      .join(broadcast(dega), Seq("a"))
-      .join(broadcast(degb), Seq("b"))
+      .join(dega, Seq("a"))
+      .join(degb, Seq("b"))
       .select(col("a"), col("b"), col("cn"), col("aa"),
         (col("cn").cast("double") /
           (col("dega") + col("degb") - col("cn"))).as("jaccard"))

@@ -27,6 +27,41 @@ object TriangleCount {
   def total(edges: DataFrame, numPartitions: Int = 32): Long =
     perVertexAndTotal(edges, numPartitions)._2
 
+  /** (deg, id)-oriented edge table (u, v, vdeg) off a canonical (a < b)
+    * undirected simple edge set and its degree table (id, deg): every edge
+    * directed from the endpoint with smaller (deg, id) to the larger one,
+    * carrying the head's degree for canonical wedge ordering. This is THE
+    * hub-safe orientation (out-degree bounded O(√m)); every triangle
+    * enumerator in the engine must build wedges from this table, never from
+    * an id-ordered one (Σdeg² hub blow-up — VERDICT r4 #1). */
+  def orient(und: DataFrame, deg: DataFrame): DataFrame = {
+    val da = deg.select(col("id").as("a"), col("deg").as("dega"))
+    val db = deg.select(col("id").as("b"), col("deg").as("degb"))
+    val aFirst = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("a") < col("b"))
+    und.join(da, "a").join(db, "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("degb")).otherwise(col("dega")).as("vdeg"))
+  }
+
+  /** Triangle enumeration off an oriented (u, v, vdeg) table: wedges
+    * (u→v, u→w) canonically ordered by the carried (deg, id), closed by the
+    * oriented edge (v→w). One row per triangle, endpoints in orientation
+    * order — callers needing canonical id pairs re-canonicalize with
+    * least/greatest. */
+  def closeWedges(oriented: DataFrame): DataFrame = {
+    val e1 = oriented.select(col("u"), col("v"), col("vdeg"))
+    val e2 = oriented.select(col("u"), col("v").as("w"), col("vdeg").as("wdeg"))
+    val wedges = e1.join(e2, "u").where(
+      col("vdeg") < col("wdeg") ||
+        (col("vdeg") === col("wdeg") && col("v") < col("w")))
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    wedges.join(closing, Seq("v", "w"), "left_semi")
+      .select(col("u"), col("v"), col("w"))
+  }
+
   /** Per-vertex triangle participation counts + global total.
     * @param edges DataFrame(src: long, dst: long); direction ignored.
     * @return (DataFrame(id, triangles), total) — vertices in no triangle
@@ -45,32 +80,13 @@ object TriangleCount {
       .groupBy("id").agg(count("*").as("deg"))
       .persist()
 
-    // orient each edge from lower (deg, id) to higher (deg, id);
-    // carry the head's degree for canonical wedge ordering
-    val da = deg.select(col("id").as("a"), col("deg").as("dega"))
-    val db = deg.select(col("id").as("b"), col("deg").as("degb"))
-    val aFirst = col("dega") < col("degb") ||
-      (col("dega") === col("degb") && col("a") < col("b"))
-    val oriented = und.join(da, "a").join(db, "b")
-      .select(
-        when(aFirst, col("a")).otherwise(col("b")).as("u"),
-        when(aFirst, col("b")).otherwise(col("a")).as("v"),
-        when(aFirst, col("degb")).otherwise(col("dega")).as("vdeg"))
+    val oriented = orient(und, deg)
       .repartition(P, col("u"))
       .persist()
     oriented.count()
     und.unpersist(false)
 
-    // wedges (u→v, u→w) canonically ordered by (deg, id), closed by (v→w)
-    val e1 = oriented.select(col("u"), col("v"), col("vdeg"))
-    val e2 = oriented.select(col("u"), col("v").as("w"), col("vdeg").as("wdeg"))
-    val wedges = e1.join(e2, "u").where(
-      col("vdeg") < col("wdeg") ||
-        (col("vdeg") === col("wdeg") && col("v") < col("w")))
-    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
-    val tris = wedges.join(closing, Seq("v", "w"), "left_semi")
-      .select(col("u"), col("v"), col("w"))
-      .persist()
+    val tris = closeWedges(oriented).persist()
 
     val totalCnt = tris.count()
     oriented.unpersist(false) // dead once tris is materialized

@@ -331,6 +331,26 @@ class AlgoSpec extends AnyFunSuite {
     assert(got === refCore(es))
   }
 
+  test("coreness: histogram and window h-index forms agree (and both match " +
+       "the peel) on seeded random graphs") {
+    // the histogram form is the hub-safe scale path (per-(dst,value) counts
+    // collapse a hub's neighbor list map-side BEFORE the shuffle); the
+    // window form is the formula the g13 oracle unrolls — identical output
+    // is the equivalence VERDICT r4 #3 asks pinned
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val es = (0 until 500).map(_ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val hist = Coreness.run(edgeDf(es), numPartitions = 4, histogram = true)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val win = Coreness.run(edgeDf(es), numPartitions = 4, histogram = false)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(hist === win, s"seed $seed: histogram ≠ window")
+      assert(hist === refCore(es), s"seed $seed")
+    }
+  }
+
   // ---- plain-Scala reference HITS: L1-normalized power iteration ----
   private def refHits(es: Seq[(Long, Long)], iters: Int): Map[Long, (Double, Double)] = {
     val e = es.filter(p => p._1 != p._2).distinct
@@ -446,6 +466,38 @@ class AlgoSpec extends AnyFunSuite {
     assert(KTruss.run(edgeDf(tri), k = 3, numPartitions = 4).count() == 3L)
   }
 
+  test("k-truss support enumeration rides the (deg, id)-oriented wedge join " +
+       "— hub-safe, not id-oriented (VERDICT r4 #1)") {
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    // star with the hub at id 0: id-orientation would give the hub oriented
+    // out-degree 40 (C(40,2) wedges); degree-orientation points every edge
+    // leaf→hub, so no vertex fans out more than once
+    val star = (1L to 40L).map(leaf => (0L, leaf))
+    val und = edgeDf(star).select(
+      least(col("src"), col("dst")).cast("long").as("a"),
+      greatest(col("src"), col("dst")).cast("long").as("b"))
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("deg"))
+    val maxOut = TriangleCount.orient(und, deg)
+      .groupBy("u").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect()(0).getLong(0)
+    assert(maxOut == 1L,
+      s"star hub must have oriented out-degree 0 (leaves 1), saw fan-out $maxOut")
+    // plan pin: the wedge input carries the degree annotation — the
+    // enumeration composes TriangleCount.orient (vdeg column present in the
+    // analyzed plan), not a bare id-ordered self-join
+    val plan = KTruss.supportEnumeration(und, 4).queryExecution.analyzed.toString
+    assert(plan.contains("vdeg"), "support enumeration lost the degree-oriented wedge shape")
+    // and the enumeration itself is correct: K4 → every edge in 2 triangles
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val undK4 = edgeDf(k4).select(col("src").as("a"), col("dst").as("b"))
+    val sup = KTruss.supportEnumeration(undK4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sup.size == 6 && sup.values.forall(_ == 2L))
+  }
+
   // ---- plain-Scala reference link prediction --------------------------
   private def refLinkPred(es: Seq[(Long, Long)], topK: Int)
       : Seq[(Long, Long, Long, Double, Double, Int)] = {
@@ -498,6 +550,14 @@ class AlgoSpec extends AnyFunSuite {
     val r = got.head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((0L, 2L, 1L)))
     assert(math.abs(r.getDouble(3) - 1.0 / math.log(2.0)) < 1e-12)
+    // no forced broadcast anywhere in the plan: the degree tables are
+    // |V|-sized (scale with the graph) and must join by key, AQE deciding
+    // the physical strategy (VERDICT r4 #2; the GraphStats rule). A
+    // broadcast() hint would survive analysis as a ResolvedHint node.
+    val hintFree = LinkPrediction.run(edgeDf(Seq((0L, 1L), (1L, 2L))),
+      topK = 10, numPartitions = 4).queryExecution.analyzed.toString
+    assert(!hintFree.contains("ResolvedHint") && !hintFree.contains("UnresolvedHint"),
+      "LinkPrediction must not broadcast-hint |V|-sized tables")
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
