@@ -20,6 +20,48 @@ import graft.sources.PagesGen
 object Bench {
   import java.lang.management.ManagementFactory
 
+  /** Hard budget for the stdout contract line: the driver machine-reads only
+    * the LAST ~2000 chars of stdout, so the line (plus its newline) must fit
+    * with margin. BenchContractSpec asserts the projected line at a
+    * registry-growth simulation stays inside this. */
+  val ContractLineBudget = 1950
+
+  private[graft] def numMapDp(xs: Seq[(String, Double)], dp: Int): String =
+    xs.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, s"%.${dp}f",
+        Double.box(v))
+    }.mkString("{", ",", "}")
+
+  /** The driver-contract stdout line. Registry-width policy (VERDICT r4
+    * next-steps #5), three self-regulating tiers:
+    *   1. walls at 1dp under full query names (the normal regime);
+    *   2. over [[ContractLineBudget]]: walls degrade to 0dp;
+    *   3. still over: map keys collapse to the registry PREFIX id (the part
+    *      before the first '_' — "g15_ktruss" → "g15"), which
+    *      BenchContractSpec asserts unique across the registry, so the map
+    *      stays unambiguous at any realistic registry width.
+    * Full-precision full-name walls always ride the diag line +
+    * BENCH_LOCAL.json sidecar, so degradation only coarsens the driver's
+    * view, never loses data locally. New registry queries must keep the
+    * prefix-unique naming convention (spec-gated). Exposed for
+    * BenchContractSpec's projected-width assertion. */
+  private[graft] def contractLine(total: Double, walls: Seq[(String, Double)],
+      graphJson: String, cpus: Int, sfDir: String): String = {
+    def build(dp: Int, shortKeys: Boolean): String = {
+      val ws = if (shortKeys) walls.map { case (k, v) => k.split('_')(0) -> v }
+               else walls
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
+        s""""queries":${numMapDp(ws, dp)},"graph":$graphJson,""" +
+        s""""cores":$cpus,"sf":"$sfDir"}"""
+    }
+    val l1 = build(1, shortKeys = false)
+    if (l1.length <= ContractLineBudget) l1
+    else {
+      val l0 = build(0, shortKeys = false)
+      if (l0.length <= ContractLineBudget) l0 else build(0, shortKeys = true)
+    }
+  }
+
   /** Process CPU seconds so far (-1 if the platform bean is unavailable). */
   private def processCpuSec(): Double =
     ManagementFactory.getOperatingSystemMXBean match {
@@ -113,16 +155,7 @@ object Bench {
       QueryUtil.releaseScratch(spark) // no retained blocks across the sweep
       (name, wall, cpu, gc)
     }
-    def numMap(xs: Seq[(String, Double)], dp: Int = 2): String =
-      xs.map { case (k, v) =>
-        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, s"%.${dp}f",
-          Double.box(v))
-      }.mkString("{", ",", "}")
-    // contract-line wall map at 1dp: at the 68-query registry width the
-    // 2dp line ran 1,817 chars — within the driver's ~2,000-char tail
-    // capture but with <200 chars of headroom for round-5 queries. The
-    // full-precision walls stay on the diag line + sidecar.
-    val qs = numMap(results.map(r => r._1 -> r._2), dp = 1)
+    def numMap(xs: Seq[(String, Double)]): String = numMapDp(xs, 2)
     val qsCpu = numMap(results.map(r => r._1 -> r._3))
     val qsGc = numMap(results.map(r => r._1 -> r._4))
     val qsWall2 = numMap(results.map(r => r._1 -> r._2))
@@ -146,10 +179,11 @@ object Bench {
     // stdout, so the final JSON line must stay compact — total + per-query
     // WALL map + graph section ONLY (round 3 appended the cpu/gc diag maps
     // here, pushed the line past the capture window, and BENCH_r03.parsed
-    // came back null). The diagnostics now ride on a separate PRECEDING
-    // stdout line and in the BENCH_LOCAL.json sidecar.
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
-      s""""queries":$qs,"graph":$graphJson,"cores":$cpus,"sf":"$sfDir"}"""
+    // came back null). The diagnostics ride on a separate PRECEDING stdout
+    // line and in the BENCH_LOCAL.json sidecar; width policy in
+    // [[contractLine]], projected growth asserted by BenchContractSpec.
+    val line = contractLine(total, results.map(r => r._1 -> r._2), graphJson,
+      cpus, sfDir)
     val diagLine = s"""{"bench_diag":$diagJson}"""
     // sidecar file for local iteration; the final stdout line is the contract
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),

@@ -71,6 +71,34 @@ object QueryUtil {
     df.sparkSession.read.parquet(dir)
   }
 
+  /** Memoized [[scratchTable]]: computes and writes the parquet ONCE per
+    * (session, name); later calls return the lazy read-back without
+    * recomputing. For DETERMINISTIC intermediates shared by several registry
+    * queries — g21/g23 both need the converged 10-round LP communities
+    * (VERDICT r4 next-steps #4): the second query pays one parquet scan
+    * instead of re-running the superstep loop. Contract: `name` must key
+    * everything the computation depends on (include the input dir), and the
+    * computation must be deterministic — which is already the registry-wide
+    * oracle requirement. Each query's own DuckDB mirror still re-derives the
+    * intermediate itself, so the correctness gate is unaffected. Checkpoint
+    * leaves pinned by the computed frame are released after the write (the
+    * result lives on disk; surviving blocks would leak past releaseScratch's
+    * caller contract). */
+  def sharedTable(name: String)(compute: => DataFrame)
+                 (implicit s: SparkSession): DataFrame = {
+    val dir = s"$scratchRoot/s${sessionId(s)}/shared_$name"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      val df = compute
+      df.write.mode("overwrite").parquet(dir)
+      graft.core.Checkpoints.releaseLeaves(df)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** Filesystem-safe tag for embedding an input dir in a [[sharedTable]]
+    * name. */
+  def dirTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   // weak keys: entries die with their session (SparkSession has no equals
   // override, so WeakHashMap hashing is identity — exactly the keying we
   // want, minus the 32-bit collision risk of using the hash AS the id)
