@@ -46,6 +46,24 @@ object Pipeline {
     if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
   }
 
+  /** Order-independent content signature of a frame: bit_xor of per-row
+    * xxhash64 (overflow-free under ANSI, unlike a 64-bit SUM); empty frame
+    * → 0 (coalesce — a bare getLong on a null aggregate throws). Folded
+    * into every checkpoint lineage id so a reused --checkpoint/--run-id
+    * can NEVER resume a superstep loop from a previous crawl's converged
+    * snapshot (old vertex set, stale degrees — silently wrong ranks):
+    * same input content ⇒ same id ⇒ crash-resume within a run still
+    * works; a new crawl's input opens a fresh lineage unconditionally.
+    * Costs one column-pruned scan of the input per run — noise next to
+    * the superstep loop it protects. */
+  private def contentSig(df: org.apache.spark.sql.DataFrame,
+                         cols: Seq[String]): String = {
+    val h = df.select(xxhash64(cols.map(col): _*).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)))
+      .collect()(0).getLong(0)
+    f"$h%016x"
+  }
+
   def main(args: Array[String]): Unit = {
     // machine-read JSON below is built with the f-interpolator, which
     // formats via the JVM default locale (comma decimals under de_DE etc.)
@@ -108,9 +126,14 @@ object Pipeline {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/degrees")
 
     // --store snapshot selects the Iceberg-shaped store (snapshot log +
-    // manifests + version-hint commit); default stays the plain parquet one
+    // manifests + version-hint commit); default stays the plain parquet one.
+    // The run-id carries the edge-table content signature (contentSig
+    // scaladoc): a monthly re-crawl reusing --checkpoint/--run-id gets a
+    // fresh lineage instead of resuming from last crawl's converged state.
     val store = arg(args, "checkpoint").map { dir =>
-      val runId = arg(args, "run-id").getOrElse("pipeline")
+      val inSig = contentSig(spark.read.parquet(s"$out/edges")
+        .select(col("src_id"), col("dst_id")), Seq("src_id", "dst_id"))
+      val runId = arg(args, "run-id").getOrElse("pipeline") + s"-in$inSig"
       arg(args, "store").getOrElse("parquet") match {
         case "snapshot" => new graft.checkpoint.SnapshotStore(dir, runId)
         case _          => new ParquetStore(dir, runId)
@@ -168,47 +191,44 @@ object Pipeline {
       val hostEdges = graft.graphbuild.HostGraph.contract(urlEdges)
         .localCheckpoint(true)
       // domain-graph churn vs the previous crawl (CrawlDiff.diffContracted
-      // — the g27 operator) → host_churn/. Written BEFORE host_edges is
-      // overwritten: a crash anywhere up to that overwrite leaves last
-      // month's table intact on disk, so the re-run reproduces the same
-      // churn instead of silently diffing the new crawl against itself —
-      // and the prev checkpoint releases before the rank supersteps start
-      // instead of pinning executor storage across them.
+      // — the g27 operator) → host_churn/. The prev checkpoint releases
+      // before the rank supersteps start instead of pinning executor
+      // storage across them. The durable host_edges OVERWRITE happens at
+      // the very END of this stage (after host_ranks/host_langs): a crash
+      // anywhere during the long rank supersteps — or before — leaves last
+      // month's table intact on disk, so the documented re-run with
+      // --prev-host-edges pointed at this same out dir reproduces the real
+      // month-over-month churn instead of silently self-diffing (delta 0).
       prevEdges.foreach { pe =>
         graft.graphbuild.CrawlDiff.diffContracted(pe, hostEdges)
           .write.mode(SaveMode.Overwrite).parquet(s"$out/host_churn")
         graft.core.Checkpoints.release(pe)
       }
-      hostEdges.write.mode(SaveMode.Overwrite).parquet(s"$out/host_edges")
       // --prev-host-ranks PATH: warm-start from a previous crawl's
       // converged host_ranks table (incremental re-crawl ranking —
       // HostGraph.rankContracted scaladoc). The read is eager so a caller
       // pointing it at THIS run's output path can't race the overwrite.
       val prev = arg(args, "prev-host-ranks").map(pth =>
         spark.read.parquet(pth).localCheckpoint(true))
-      // Warm-start content signature folded into the lineage id: without
-      // it, a reused --checkpoint dir holding LAST crawl's CONVERGED host
-      // snapshot under the same run-id would make Superstep RESUME from
-      // the stale state — old vertex set, stale degrees — and silently
-      // ignore the warm init. Content-keyed (not path-keyed: the path is
-      // typically constant month over month), so a crashed invocation
-      // still resumes (same prev content ⇒ same id) while a new crawl's
-      // warm source opens a fresh lineage.
-      val warmSig = prev.map { df =>
-        // bit_xor: order-independent and overflow-free (a 64-bit SUM of
-        // row hashes overflows and throws under ANSI mode); coalesce
-        // because an EMPTY prev table (first-month bootstrap) aggregates
-        // to null and a bare getLong would throw
-        val h = df.select(xxhash64(col("host"), col("rank")).as("h"))
-          .agg(coalesce(expr("bit_xor(h)"), lit(0L)))
-          .collect()(0).getLong(0)
-        f"-warm$h%016x"
-      }.getOrElse("")
+      // Lineage id for the host rank loop = base + INPUT signature
+      // (hostEdges content, computed UNCONDITIONALLY — churn-only monthly
+      // re-runs without --prev-host-ranks used to get a constant '-host'
+      // id and silently resume from the previous crawl's converged
+      // snapshot) + warm-start signature when warm-starting (two warm
+      // sources over the same input must not share a lineage either).
+      // Content-keyed, not path-keyed (paths are typically constant month
+      // over month): a crashed invocation still resumes — the contraction
+      // is deterministic, so same crawl ⇒ same ids — while any new-crawl
+      // input opens a fresh lineage (contentSig scaladoc).
+      val inSig = "-in" + contentSig(hostEdges,
+        Seq("src_host", "dst_host", "weight"))
+      val warmSig = prev.map(df =>
+        "-warm" + contentSig(df, Seq("host", "rank"))).getOrElse("")
       // checkpointed like the main stage, under its own run-id so the two
       // stages' snapshot lineages never clobber each other
       val hostStore = arg(args, "checkpoint").map { dir =>
         val runId = arg(args, "run-id").getOrElse("pipeline") + "-host" +
-          warmSig
+          inSig + warmSig
         arg(args, "store").getOrElse("parquet") match {
           case "snapshot" => new graft.checkpoint.SnapshotStore(dir, runId)
           case _          => new ParquetStore(dir, runId)
@@ -223,7 +243,6 @@ object Pipeline {
           numPartitions = partitions, weightCol = Some("weight")), hostCfg)
       hostRanks.write.mode(SaveMode.Overwrite).parquet(s"$out/host_ranks")
       prev.foreach(graft.core.Checkpoints.release)
-      graft.core.Checkpoints.release(hostEdges)
       // per-host language mix off the input_hint `lang` column (the
       // Common-Crawl-style per-crawl language annotation rollup): distinct
       // urls per (host, lang) — the dedup-first convention host_edges
@@ -237,6 +256,10 @@ object Pipeline {
         .where(col("host").isNotNull)
         .groupBy("host", "lang").agg(countDistinct(col("url")).as("docs"))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/host_langs")
+      // LAST durable write of the stage (see the churn comment above): only
+      // a fully-ranked crawl replaces last month's host_edges on disk
+      hostEdges.write.mode(SaveMode.Overwrite).parquet(s"$out/host_edges")
+      graft.core.Checkpoints.release(hostEdges)
       println(s"host graph -> $out/host_edges, host_ranks, host_langs" +
         prevEdges.map(_ => ", host_churn").getOrElse("") +
         s" (pr_steps=$hprSteps" +
