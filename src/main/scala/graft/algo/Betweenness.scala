@@ -144,4 +144,32 @@ object Betweenness {
       deltas.foreach(graft.core.Checkpoints.release)
     }
   }
+
+  /** Brandes–Pich pivot ESTIMATOR of full betweenness ("Centrality
+    * estimation in large networks", 2007): with k pivots sampled from the
+    * n vertices, b̂(v) = (n/k) · Σ_{s ∈ pivots} δ_s(v) — an unbiased
+    * estimator of bc(v) whose per-vertex error obeys the Hoeffding bound
+    *
+    *   P( |b̂(v) − bc(v)| ≥ ξ·n·(n−2) ) ≤ 2·exp(−2·k·ξ²)
+    *
+    * since each per-source dependency δ_s(v) lies in [0, n−2]. Inverting at
+    * a union-bounded failure budget δ over all n vertices gives the
+    * deterministic acceptance bound ξ = sqrt(ln(2n/δ) / (2k)) that
+    * AlgoSpec checks observed error against on a golden graph (measured
+    * bound-vs-observed numbers in BASELINE.md §betweenness-sampling).
+    * [[run]] with `sources` is the RESTRICTED sum (what the g18 oracle
+    * mirrors exactly); this wraps it with the n/k extrapolation — both
+    * scalars stay in-plan (single-row aggregates, broadcast like every
+    * scalar in GraphStats). */
+  def estimate(edges: DataFrame, pivots: DataFrame, numPartitions: Int = 32,
+               maxDepth: Int = 256): DataFrame = {
+    val restricted = run(edges, Some(pivots), numPartitions, maxDepth)
+    // run() returns every vertex (0.0 for never-intermediate), so |V| is
+    // its own row count; k dedups the caller's pivot list defensively
+    val nAgg = restricted.agg(count(lit(1)).cast("double").as("n"))
+    val kAgg = pivots.select(col("id")).distinct()
+      .agg(count(lit(1)).cast("double").as("k"))
+    restricted.crossJoin(broadcast(nAgg)).crossJoin(broadcast(kAgg))
+      .select(col("id"), (col("bc") * col("n") / col("k")).as("bc_est"))
+  }
 }

@@ -714,6 +714,54 @@ class AlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("Brandes–Pich pivot estimator: observed error inside the Hoeffding " +
+       "acceptance bound on a golden graph (bound vs observed in BASELINE.md)") {
+    import spark.implicits._
+    // golden digraph: n = 60 vertices with a hub-skewed in-degree (half the
+    // targets land on ids 0-5) so bc has a separated head — the web-graph
+    // shape the estimator is for; pivots = every 3rd id (k = 20, the g18
+    // convention)
+    val rnd = new scala.util.Random(13)
+    val es = (0 until 700).map { _ =>
+      val src = rnd.nextInt(60).toLong
+      val dst = (if (rnd.nextBoolean()) rnd.nextInt(6) else rnd.nextInt(60)).toLong
+      (src, dst)
+    }.filter(e => e._1 != e._2).distinct
+    val exact = Betweenness.run(edgeDf(es), None, numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = exact.size
+    val pivots = (0L until 60L).filter(_ % 3 == 0)
+    val k = pivots.size
+    val est = Betweenness.estimate(edgeDf(es), pivots.toDF("id"),
+      numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // Hoeffding acceptance bound at failure budget δ = 0.01 union-bounded
+    // over all n vertices: ξ = sqrt(ln(2n/δ)/(2k)), |err| ≤ ξ·n·(n−2)
+    val xi = math.sqrt(math.log(2.0 * n / 0.01) / (2.0 * k))
+    val bound = xi * n * (n - 2.0)
+    val errs = exact.keys.map(v => math.abs(est(v) - exact(v)))
+    val maxErr = errs.max
+    assert(maxErr <= bound,
+      f"observed max error $maxErr%.2f exceeds Hoeffding bound $bound%.2f")
+    // the bound is loose by design; pin the OBSERVED quality too so a
+    // regression in the estimator (not just a catastrophe) fails:
+    // mean absolute error stays a small fraction of the mean bc mass
+    val meanBc = exact.values.sum / n
+    val meanErr = errs.sum / n
+    assert(meanErr < 0.5 * meanBc,
+      f"mean |err| $meanErr%.2f vs mean bc $meanBc%.2f — estimator degraded")
+    // estimator must preserve the head: top-5 exact vertices inside top-10
+    // estimated (the ranking use the 100×-scale path depends on)
+    val top5 = exact.toSeq.sortBy(-_._2).take(5).map(_._1).toSet
+    val top10est = est.toSeq.sortBy(-_._2).take(10).map(_._1).toSet
+    assert((top5 -- top10est).isEmpty,
+      s"estimator lost head vertices: ${(top5 -- top10est).mkString(",")}")
+    // measured numbers recorded in BASELINE.md §betweenness-sampling
+    println(f"[brandes-pich] n=$n k=$k xi=$xi%.4f bound=$bound%.1f " +
+      f"maxErr=$maxErr%.2f meanErr=$meanErr%.2f meanBc=$meanBc%.2f")
+  }
+
   test("betweenness: directed path + diamond golden values") {
     // path 0→1→2→3: bc(1)=2 (pairs 0→2,0→3 via... plus 1→3 doesn't count 1)
     // precisely: 1 lies on 0→2, 0→3; 2 lies on 0→3, 1→3

@@ -104,4 +104,24 @@ class HostGraphSpec extends AnyFunSuite {
     // IP authority is non-null under the raw rule → edge kept
     assert(got(("192.168.0.1", "b.com")) == 1L)
   }
+
+  test("contracted host graph round-trips through the graph.csv sink " +
+       "(export → re-ingest ≡ contract output)") {
+    val contracted = HostGraph.contract(urls.toDF("src", "dst"))
+    val dir = java.nio.file.Files.createTempDirectory("hostcsv").toString
+    HostGraph.exportGraphCsv(contracted, s"$dir/graph_csv")
+    val back = HostGraph.importGraphCsv(spark, s"$dir/graph_csv")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(asSet(back) == asSet(contracted) && back.count() > 0)
+    // the export is the reference's 23-column unified shape: every host
+    // appears as a Node row, every link as an Edge row
+    val uni = graft.sources.GraphCsv.read(spark, s"$dir/graph_csv")
+    assert(uni.columns.length == 23)
+    val hosts = contracted.select("src_host")
+      .union(contracted.select("dst_host")).distinct().count()
+    import org.apache.spark.sql.functions.col
+    assert(uni.where(col("graph_attr") === "Node").count() == hosts)
+    assert(uni.where(col("graph_attr") === "Edge").count() == contracted.count())
+  }
 }
