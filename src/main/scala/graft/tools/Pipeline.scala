@@ -77,6 +77,14 @@ object Pipeline {
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
+      // subset co-partitioning: a child hash-partitioned on a SUBSET of
+      // the join keys co-partitions the join (the wg4 redirect assembly
+      // pre-partitions its four inputs on (visit_id, old_request_id) and
+      // every URL-suffixed join + window reuses that one exchange —
+      // PLANS.md wg4 row); engine repartitions are all deliberate
+      // high-cardinality keys, so the skew guard the default protects
+      // against does not apply
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
     // spark-submit injects spark.master; standalone runs default to local
     val spark = (if (sys.props.contains("spark.master")) builder

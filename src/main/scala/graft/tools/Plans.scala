@@ -8,8 +8,13 @@ import org.apache.spark.sql.SparkSession
   * findings and invariants live in PLANS.md. */
 object Plans {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // --no-broadcast: preview the CORPUS-SCALE plan shape — force every
+    // join to its shuffle strategy (autoBroadcastJoinThreshold=-1), the
+    // regime where small-SF broadcasts hide exchange-reuse differences
+    val noBcast = args.contains("--no-broadcast")
+    val rest = args.filterNot(_ == "--no-broadcast")
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (rest.length > 1) rest.drop(1).toSeq
       else Seq("a1_agg_lineitem", "p1_project_flags", "j1_join_chain",
         "w1_latest_per_user", "d2_jaccard_pairs", "e1_knn_bruteforce",
         "t2_quality", "g20_clustering", "g22_assortativity",
@@ -19,6 +24,9 @@ object Plans {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        if (noBcast) "-1" else "10485760")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

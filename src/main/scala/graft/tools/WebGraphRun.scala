@@ -62,6 +62,14 @@ object WebGraphRun {
       .appName("graft-webgraph")
       .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
+      // subset co-partitioning: a child hash-partitioned on a SUBSET of
+      // the join keys co-partitions the join (the wg4 redirect assembly
+      // pre-partitions its four inputs on (visit_id, old_request_id) and
+      // every URL-suffixed join + window reuses that one exchange —
+      // PLANS.md wg4 row); engine repartitions are all deliberate
+      // high-cardinality keys, so the skew guard the default protects
+      // against does not apply
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
     val spark = (if (sys.props.contains("spark.master")) builder
       else builder.master(arg(args, "master").getOrElse("local[*]")))

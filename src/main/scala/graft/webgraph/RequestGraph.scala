@@ -41,6 +41,17 @@ object RequestGraph {
   def redirectEdges(requests: Dataset[HttpRequest],
                     redirects: Dataset[HttpRedirect],
                     responses: Dataset[HttpResponse]): (DataFrame, DataFrame) = {
+    // One hash partitioning serves the whole assembly (round 5, VERDICT r4
+    // #8 / ROUND_NOTES wg4 item): all four join inputs pre-partition on
+    // (visit_id, old_request_id) — a SUBSET of every join's keys, which
+    // EnsureRequirements accepts as co-partitioning (requireAllClusterKeys
+    // defaults off), so the three URL-suffixed joins AND the chain window
+    // all reuse it instead of re-exchanging on their full key each stage.
+    // At broadcast-able SF this is moot (AQE broadcasts the dimension
+    // sides); at corpus scale it cuts the redirect-region exchanges from 6
+    // to 4 and the hop stream is shuffled ONCE (measured with Plans
+    // --no-broadcast — ROUND_NOTES round-5 notes).
+    val byChain = Seq(col("visit_id"), col("old_request_id"))
     val req = requests.toDF()
     val red = redirects.toDF()
     val resp = responses.toDF()
@@ -53,21 +64,25 @@ object RequestGraph {
         col("old_request_url"), col("new_request_url"),
         col("headers").as("respattr1"),
         col("response_status").as("red_status"))
+      .repartition(byChain: _*)
       .join(req.select(col("visit_id"), col("request_id").as("old_request_id"),
           col("url").as("old_request_url"),
           col("headers").as("reqattr1"), col("top_level_url"),
-          col("time_stamp").as("src_ts")),
+          col("time_stamp").as("src_ts"))
+          .repartition(byChain: _*),
         Seq("visit_id", "old_request_id", "old_request_url"))
 
     val x2 = x1.join(
       req.select(col("visit_id"), col("request_id").as("old_request_id"),
-        col("url").as("new_request_url"), col("headers").as("reqattr2")),
+        col("url").as("new_request_url"), col("headers").as("reqattr2"))
+        .repartition(byChain: _*),
       Seq("visit_id", "old_request_id", "new_request_url"))
 
     val x3 = x2.join(
       resp.select(col("visit_id"), col("request_id").as("old_request_id"),
         col("url").as("new_request_url"), col("headers").as("resp_final"),
-        col("response_status").as("status_final")),
+        col("response_status").as("status_final"))
+        .repartition(byChain: _*),
       Seq("visit_id", "old_request_id", "new_request_url"), "left")
 
     val w = Window.partitionBy(col("visit_id"), col("old_request_id"))
