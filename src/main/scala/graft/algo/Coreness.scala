@@ -27,12 +27,12 @@ import org.apache.spark.sql.functions._
   * agrees bit-for-bit — what makes the DuckDB oracle mirror exact,
   * QueriesGraph `g13_kcore`):
   *
-  *  - window form (`histogram = false`): max over neighbors of
+  *  - window form (`histogram = Some(false)`): max over neighbors of
   *    min(rank, value) with values sorted descending — the formula the
   *    oracle unrolls, but the per-destination rank window puts a hub's
   *    ENTIRE neighbor-value list into one window partition every superstep
   *    (a 10⁷-degree hub = a per-round skewed-key sort/spill);
-  *  - histogram form (`histogram = true`, the default/scale path): first
+  *  - histogram form (`histogram = Some(true)`, the hub-scale path): first
   *    collapse neighbor values to per-(dst, value) COUNTS — a hash
   *    aggregate with map-side combine, so the hub's 10⁷ rows shrink to at
   *    most #distinct-values ≤ maxCore+1 = O(√m) rows BEFORE the shuffle —
@@ -42,6 +42,17 @@ import org.apache.spark.sql.functions._
   *    rank, which IS the cumulative count, so the two maxima coincide.
   *    The residual window sorts distinct values only (bounded rows/key).
   *
+  * Default is AUTO: the histogram form costs one extra exchange per
+  * superstep (the (dst, value) pre-aggregate), which measured SLOWER than
+  * the window's in-partition sort up to a 10⁶-degree hub (HubBench:
+  * window 15.0 s vs histogram 20.5 s total at H=10⁶, 8 cores — the sort
+  * is cheap until a partition outgrows executor memory), while at
+  * 10⁷⁺-degree hubs the window's per-superstep single-partition
+  * sort/spill is the failure mode the histogram exists to kill. Auto
+  * picks by max degree (= max c₀, one scalar aggregate before the loop)
+  * against [[Coreness.HistogramDegreeThreshold]] — well below the spill
+  * point, above every measured window win.
+  *
   * Fixpoint/cap equivalence: if the sequence fixes at step t ≤ maxIter,
   * all later steps are identities, so "run to fixpoint capped at K" and
   * "run exactly K rounds" produce the SAME table — the registered oracle
@@ -49,16 +60,23 @@ import org.apache.spark.sql.functions._
   */
 object Coreness {
 
+  /** Auto-form cutover: max degree at which the per-superstep histogram
+    * pre-aggregate pays for itself (scaladoc above — HubBench measured the
+    * window form still ahead at 10⁶; spill danger starts ~10⁷ rows/
+    * partition). */
+  val HistogramDegreeThreshold: Int = 1 << 22
+
   /** @param edges     DataFrame(src: long, dst: long) — symmetrized
     *                   internally; self-loops dropped (simple-graph
     *                   semantics).
-    * @param histogram  h-index form per superstep: count-histogram (true,
-    *                   default — the hub-safe scale path) or the direct
-    *                   rank window (false — the oracle formula). Identical
-    *                   output (scaladoc above; CorenessSpec).
+    * @param histogram  h-index form per superstep: Some(true) =
+    *                   count-histogram (the hub-safe scale path),
+    *                   Some(false) = the direct rank window (the oracle
+    *                   formula), None = auto by max degree (scaladoc).
+    *                   Identical output either way (spec-pinned ≡).
     * @return DataFrame(id: long, core: int) */
   def run(edges: DataFrame, numPartitions: Int = 32,
-          maxIter: Int = 64, histogram: Boolean = true): DataFrame = {
+          maxIter: Int = 64, histogram: Option[Boolean] = None): DataFrame = {
     val spark = edges.sparkSession
     val P = numPartitions
 
@@ -70,10 +88,15 @@ object Coreness {
       .repartition(P, col("src"))
       .persist()
 
-    val init = sym.groupBy(col("src").as("id"))
+    val init0 = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("int").as("core"))
       .repartition(P, col("id"))
-      .withColumn("changed", lit(1L))
+    val useHistogram = histogram.getOrElse {
+      // c₀ IS the degree table — one scalar aggregate decides the form
+      init0.agg(coalesce(max(col("core")), lit(0)).cast("int"))
+        .collect()(0).getInt(0) >= HistogramDegreeThreshold
+    }
+    val init = init0.withColumn("changed", lit(1L))
 
     val cfg = Superstep.Config(P, maxIter, tol = 0.0)
     val res = try Superstep.run(spark, init, cfg) { (state, _) =>
@@ -81,7 +104,7 @@ object Coreness {
         sym("src") === col("id"))
         .select(col("dst"), col("cv"))
       val h =
-        if (histogram) {
+        if (useHistogram) {
           // hub-safe: collapse to per-(dst, value) counts first (map-side
           // combined), then cumulate over the ≤ O(√m) distinct values
           nb.groupBy(col("dst"), col("cv")).agg(count(lit(1)).as("c"))

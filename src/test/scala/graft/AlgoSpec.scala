@@ -342,9 +342,9 @@ class AlgoSpec extends AnyFunSuite {
       val es = (0 until 500).map(_ =>
         (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
         .filter(e => e._1 != e._2).distinct
-      val hist = Coreness.run(edgeDf(es), numPartitions = 4, histogram = true)
+      val hist = Coreness.run(edgeDf(es), numPartitions = 4, histogram = Some(true))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-      val win = Coreness.run(edgeDf(es), numPartitions = 4, histogram = false)
+      val win = Coreness.run(edgeDf(es), numPartitions = 4, histogram = Some(false))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(hist === win, s"seed $seed: histogram ≠ window")
       assert(hist === refCore(es), s"seed $seed")
