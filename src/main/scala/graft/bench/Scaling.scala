@@ -71,7 +71,7 @@ object Scaling {
       // PLANS.md wg4 row); engine repartitions are all deliberate
       // high-cardinality keys, so the skew guard the default protects
       // against does not apply
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", sys.env.getOrElse("SPARK_GRAFT_SUBSET_COPART", "false"))
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

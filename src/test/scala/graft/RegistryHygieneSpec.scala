@@ -27,8 +27,11 @@ class RegistryHygieneSpec extends AnyFunSuite {
     // return the superstep state itself — their single retained block is
     // the result the caller consumes, released by the documented
     // releaseScratch contract)
+    // g21 included since round 5: its LP community IR goes through
+    // sharedTable (parquet memo + releaseLeaves), so even the computing
+    // first call must leave no blocks behind
     for (name <- Seq("p4_pred_mix", "d4_simhash_pairs", "af1_cookie_stats",
-        "wg6_local_storage")) {
+        "wg6_local_storage", "g21_modularity")) {
       val before = retainedIds
       assert(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count() >= 0)
       assert(retainedIds.diff(before).isEmpty, s"$name leaked blocks")
