@@ -55,6 +55,39 @@ object EdgeStream {
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"), col("dst"), col("in_degree"))
 
+  /** Watermarked per-window host-graph contraction — the STREAMING form of
+    * [[graft.graphbuild.HostGraph.contract]] (round 5; the Common-Crawl
+    * domain-graph workflow fed from a live url-edge stream): each
+    * event-time window emits its (win, src_host, dst_host, weight) rows
+    * once the watermark closes it. Same semantics per window as the batch
+    * contraction: url-level pairs dedup FIRST
+    * (`dropDuplicatesWithinWatermark` — bounded state, keys evicted past
+    * the watermark), hosts via the native `etld1`, nulls and intra-host
+    * edges dropped, weight = distinct surviving url links per host pair.
+    * Append-mode compatible (aggregation is watermark-finalized); the
+    * monthly batch artifact and this stream agree on any closed window
+    * over the same rows (StreamingSpec pins stream ≡ batch contract on a
+    * replayed fixture). */
+  def windowedHostEdges(links: Dataset[Link], window: String = "10 minutes",
+                        watermark: String = "5 minutes"): DataFrame = {
+    graft.ext.GraftExtensions.register(links.sparkSession)
+    val host = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.call_function("etld1", c)
+    links.toDF()
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("src", "dst")
+      .select(host(col("src")).as("src_host"), host(col("dst")).as("dst_host"),
+        col("ts"))
+      .where(col("src_host").isNotNull && col("dst_host").isNotNull &&
+        col("src_host") =!= col("dst_host"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("weight"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("src_host"), col("dst_host"), col("weight"))
+  }
+
   /** Micro-batch → superstep trigger (incremental recompute, SURVEY.md
     * §2.10 extension): each micro-batch's edges append to the durable edge
     * table, then PageRank re-converges over the accumulated graph

@@ -236,4 +236,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows("x") === 1L)
     } finally q.stop()
   }
+
+  test("windowedHostEdges: closed-window stream contraction ≡ batch " +
+       "HostGraph.contract on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.model.Link]
+    val base = 1700000000000L // 200 s into its 10-min tumbling window
+    val urls = Seq( // the HostGraphSpec fixture: dups, subdomains, intra-host, IP
+      ("http://www.a.co.uk/p1", "http://b.com/x"),
+      ("http://www.a.co.uk/p1", "http://b.com/x"), // exact url dup
+      ("http://www.a.co.uk/p2", "http://b.com/x"),
+      ("http://m.a.co.uk/p3", "http://b.com/y"),
+      ("http://sub1.b.com/p", "http://b.com/q"),   // intra-host → dropped
+      ("http://192.168.0.1/p", "http://b.com/z"),  // null host → dropped
+      ("http://b.com/r", "http://www.a.co.uk/s"))
+    mem.addData(urls.zipWithIndex.map { case ((s, d), i) =>
+      graft.model.Link(s, d, new Timestamp(base + i * 1000L)) })
+    val out = EdgeStream.windowedHostEdges(mem.toDS(),
+      window = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("hostwin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past the fixture window so append emits it
+      mem.addData(Seq(graft.model.Link("http://later1.org/a",
+        "http://later2.org/b", new Timestamp(base + 1800 * 1000L))))
+      q.processAllAvailable()
+      mem.addData(Seq(graft.model.Link("http://later3.org/a",
+        "http://later4.org/b", new Timestamp(base + 3600 * 1000L))))
+      q.processAllAvailable()
+      val winStart = new Timestamp(base - (base % 600000L))
+      val got = spark.table("hostwin")
+        .where(col("win_start") === winStart)
+        .select("src_host", "dst_host", "weight")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = graft.graphbuild.HostGraph.contract(urls.toDF("src", "dst"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got === want && got.nonEmpty,
+        s"stream window ≠ batch contraction: $got vs $want")
+    } finally q.stop()
+  }
 }
