@@ -25,13 +25,17 @@ import org.apache.spark.sql.functions._
   *                     containing e and ≥1 removed edge}|
   *
   * and those lost triangles are found by anchoring on the REMOVED edges
-  * only (removed (a,b) ⋈ adjacency of a ⋈ adjacency of b, then distinct
-  * canonical triples so a triangle with 2-3 removed edges decrements each
-  * surviving edge once). Per-round work is proportional to the removal
-  * frontier, not the graph — on peel-heavy graphs rounds after the first
-  * cost ~nothing, and a no-peel graph proves its fixpoint with one cheap
-  * empty-removal count (sf1 fixture: 38 s full-reenumeration loop →
-  * ~first-enumeration cost only).
+  * only: each removed edge expands from its lower-INITIAL-(deg, id)
+  * endpoint (pre-oriented once at startup and carried on the row — initial
+  * degrees upper-bound peeled degrees, so the O(√m) fan-out bound holds
+  * every round with no per-round degree pass), closes over the other
+  * endpoint's old adjacency by equi-join, then distinct canonical triples
+  * so a triangle with 2-3 removed edges decrements each surviving edge
+  * once. Per-round work is proportional to the removal frontier, not the
+  * graph — on peel-heavy graphs rounds after the first cost ~nothing, and
+  * a no-peel graph proves its fixpoint with one cheap empty-removal count
+  * (sf1 fixture: 38 s full-reenumeration loop → ~first-enumeration cost
+  * only).
   *
   * Synchronous-peel equivalence: simultaneous removal converges to the
   * same fixpoint as the sequential peel (the k-truss is the unique maximal
@@ -91,9 +95,24 @@ object KTruss {
     // before the support count
     val sup0 = supportEnumeration(und, P)
 
-    var alive = und.join(sup0, Seq("a", "b"), "left")
+    // per-edge recount anchor, computed ONCE: p0 = the endpoint with the
+    // lower INITIAL (deg, id), q0 = the other. Degrees only shrink during
+    // the peel, so deg_old(p0) ≤ deg_init(p0) = min initial degree — the
+    // O(√m) anchoring bound holds every round with zero per-round degree
+    // work; the columns just ride the shrinking alive table.
+    val degInit = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val aLow = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    var alive = und
+      .join(degInit.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(degInit.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      .join(sup0, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
-        coalesce(col("sup"), lit(0L)).as("support"))
+        coalesce(col("sup"), lit(0L)).as("support"),
+        when(aLow, col("a")).otherwise(col("b")).as("p0"),
+        when(aLow, col("b")).otherwise(col("a")).as("q0"))
       .repartition(P, col("a"))
       .localCheckpoint(true)
     var completed = false
@@ -102,27 +121,19 @@ object KTruss {
       var iter = 0
       while (removedCount > 0 && iter < maxIter) {
         val removed = alive.where(col("support") < km2)
-          .select("a", "b").localCheckpoint(true)
+          .select("p0", "q0").localCheckpoint(true)
         removedCount = removed.count()
         if (removedCount > 0) {
-          // triangles of the OLD set touching a removed edge: anchor each
-          // removed edge on its LOWER-degree endpoint (degrees of the old
-          // alive set, one keyed join each side — no broadcast hints), so
-          // the expansion fan-out per removed edge is min(deg a, deg b),
-          // the same degree posture as the one-time enumeration; the other
-          // endpoint then closes via an equi-join probe
+          // triangles of the OLD set touching a removed edge: each removed
+          // edge expands from its pre-oriented LOWER-initial-degree
+          // endpoint p0 (carried on the row — no per-round degree pass),
+          // so the fan-out is ≤ min initial degree, the enumeration's
+          // posture; the other endpoint then closes via an equi-join probe
           val sym = alive.select(col("a").as("p"), col("b").as("q"))
             .union(alive.select(col("b").as("p"), col("a").as("q")))
-          val degNow = sym.groupBy(col("p").as("id")).agg(count(lit(1)).as("d"))
-          val low = col("da") <= col("db")
-          val remOr = removed
-            .join(degNow.select(col("id").as("a"), col("d").as("da")), Seq("a"))
-            .join(degNow.select(col("id").as("b"), col("d").as("db")), Seq("b"))
-            .select(when(low, col("a")).otherwise(col("b")).as("p0"),
-              when(low, col("b")).otherwise(col("a")).as("q0"))
           val n1 = sym.select(col("p").as("p1"), col("q").as("w1"))
           val n2 = sym.select(col("p").as("p2"), col("q").as("w2"))
-          val lost = remOr
+          val lost = removed
             .join(n1, col("p1") === col("p0"))
             .join(n2, col("p2") === col("q0") && col("w2") === col("w1"))
             // canonical sorted triple: a triangle carrying 2-3 removed
@@ -137,7 +148,8 @@ object KTruss {
           val next = alive.where(col("support") >= km2)
             .join(dec, Seq("a", "b"), "left")
             .select(col("a"), col("b"),
-              (col("support") - coalesce(col("d"), lit(0L))).as("support"))
+              (col("support") - coalesce(col("d"), lit(0L))).as("support"),
+              col("p0"), col("q0"))
             .repartition(P, col("a"))
             .localCheckpoint(true)
           graft.core.Checkpoints.release(alive)
