@@ -15,7 +15,7 @@ import graft.model.Page
   *     --pages <parquet dir>  (url, warc_ts, html, text, lang)  \
   *     --out <dir>  [--partitions N] [--tol 1e-6] [--checkpoint <dir>] \
   *     [--run-id <id>] [--store parquet|snapshot] [--expire-keep K] \
-  *     [--async-ckpt] [--bucket-edges] [--host-graph]
+  *     [--async-ckpt] [--bucket-edges] [--host-graph] [--host-csv]
   *     [--prev-host-ranks <parquet>]  (warm-start host ranking from a
   *                                     previous crawl's host_ranks table)
   *     [--prev-host-edges <parquet>]  (also write host_churn/ — the
@@ -264,6 +264,12 @@ object Pipeline {
         .where(col("host").isNotNull)
         .groupBy("host", "lang").agg(countDistinct(col("url")).as("docs"))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/host_langs")
+      // --host-csv: also emit the domain-graph artifact in the reference's
+      // graph.csv interchange shape (HostGraph.exportGraphCsv — Node rows
+      // per host, Edge rows per weighted link; re-ingestable)
+      if (args.contains("--host-csv"))
+        graft.graphbuild.HostGraph.exportGraphCsv(hostEdges,
+          s"$out/host_graph_csv")
       // LAST durable write of the stage (see the churn comment above): only
       // a fully-ranked crawl replaces last month's host_edges on disk
       hostEdges.write.mode(SaveMode.Overwrite).parquet(s"$out/host_edges")
